@@ -1,0 +1,147 @@
+"""Causal self-attention ops: jnp reference + Pallas flash-attention kernel.
+
+Replaces the reference's dense materialized T×T attention
+(`part1_switchable_precision/models_sp.py:58-76`: QK^T/sqrt(d), tril mask,
+softmax, V) with a blockwise Pallas kernel on TPU. The jnp path is the
+numerics reference and the CPU-test fallback; both compute exactly the same
+math (softmax in float32).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def causal_attention_reference(q, k, v, *, mask=None):
+    """Dense causal attention (numerics reference).
+
+    q,k,v: (B, H, T, D). Returns (B, H, T, D). Matches the reference math
+    (`models_sp.py:68-73`): scores/sqrt(D), causal mask to -inf, softmax, V.
+    `mask` optionally adds a padding mask of shape (B, T) (1=keep).
+    """
+    B, H, T, D = q.shape
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(D)
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    scores = jnp.where(causal[None, None], scores, NEG_INF)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :].astype(bool), scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (causal, no materialized T×T)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, block_k,
+                  sm_scale, seq_len):
+    """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
+    q_blk = pl.program_id(1)
+    block_q = q_ref.shape[0]
+
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    q_offset = q_blk * block_q
+
+    num_k_blocks = pl.cdiv(seq_len, block_k)
+    # causal: only K blocks with start <= q_end
+    max_kb = jnp.minimum(num_k_blocks, (q_offset + block_q + block_k - 1) // block_k)
+
+    def body(kb, _):
+        k_off = kb * block_k
+        k_tile = k_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
+        v_tile = v_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
+
+        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32)
+
+        q_ids = q_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_ids = k_off + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        alpha = jnp.exp(m_prev - m_cur)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v_tile, preferred_element_type=jnp.float32
+        )
+        m_scr[:] = m_cur
+        return 0
+
+    jax.lax.fori_loop(0, max_kb, body, 0)
+
+    o_ref[:] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q, k, v, *, block_q=128, block_k=128, interpret=False):
+    """Blockwise causal flash attention on TPU.
+
+    q,k,v: (B, H, T, D) with T a multiple of block sizes (pad upstream).
+    Softmax statistics kept in VMEM scratch; no T×T materialization, so HBM
+    traffic is O(T·D) per head instead of the reference's O(T²).
+    """
+    B, H, T, D = q.shape
+    sm_scale = 1.0 / math.sqrt(D)
+    block_q = min(block_q, T)
+    block_k = min(block_k, T)
+
+    qf = q.reshape(B * H, T, D)
+    kf = k.reshape(B * H, T, D)
+    vf = v.reshape(B * H, T, D)
+
+    grid = (B * H, pl.cdiv(T, block_q))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, block_k=block_k, sm_scale=sm_scale, seq_len=T
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, T, D)
+
+
+def causal_attention(q, k, v, *, mask=None, use_flash=None, interpret=False):
+    """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere.
+
+    Flash path requires no padding mask (training uses packed full windows,
+    reference `part1_switchable_precision/dataset.py:35-49`) and T % 128 == 0
+    for peak MXU tiling; otherwise falls back to the dense reference.
+    """
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() not in ("cpu",)
+            and mask is None
+            and q.shape[2] % 128 == 0
+            and q.shape[3] in (64, 128)
+        )
+    if use_flash:
+        return flash_attention(q, k, v, interpret=interpret)
+    return causal_attention_reference(q, k, v, mask=mask)
