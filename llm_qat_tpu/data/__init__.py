@@ -1,0 +1,21 @@
+"""Data layer: LM datasets (WikiText), SQuAD preprocessing, tokenizers."""
+
+from .lm_datasets import (
+    ByteTokenizer,
+    LMDataset,
+    chunk_tokens,
+    create_dataloaders,
+    get_gpt2_tokenizer,
+    load_wikitext,
+    synthetic_corpus,
+)
+
+__all__ = [
+    "ByteTokenizer",
+    "LMDataset",
+    "chunk_tokens",
+    "create_dataloaders",
+    "get_gpt2_tokenizer",
+    "load_wikitext",
+    "synthetic_corpus",
+]

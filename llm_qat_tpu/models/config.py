@@ -76,6 +76,19 @@ class QuantConfig:
     def __post_init__(self):
         object.__setattr__(self, "bit_widths", tuple(sorted(self.bit_widths)))
 
+    def __hash__(self):
+        # dict fields break the dataclass-generated hash; configs are used as
+        # static jit arguments, so hash a stable tuple form instead.
+        return hash((
+            self.bit_widths,
+            tuple(sorted(self.lora_rank_per_bit.items())),
+            tuple(sorted(self.lora_alpha_per_bit.items())),
+            tuple(sorted(self.quantizer_per_bit.items())),
+            self.per_channel,
+            self.symmetric,
+            self.eps,
+        ))
+
     # -- static precision tables -------------------------------------------
 
     @property

@@ -226,7 +226,7 @@ def sp_linear(x, p, prec, tables: PrecTables, cfg: SPModelConfig,
     base = jnp.dot(xq.astype(cdt), wq.astype(cdt),
                    preferred_element_type=jnp.float32) + p["b"]
 
-    if not calibration_mode:
+    if not calibration_mode and q.max_rank > 0:
         A = p["lora_A"][prec]
         B = p["lora_B"][prec]
         # reference LoRA quantizers: channel_dim=1 (lora.py:39-40)

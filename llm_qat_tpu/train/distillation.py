@@ -1,0 +1,79 @@
+"""Self-distillation losses for switchable-precision training.
+
+TPU-native re-design of the reference `DistillationManager`
+(`part1_switchable_precision/distillation_manager.py:9-167`). The reference
+caches teacher outputs host-side keyed by `hash(shape, first-32-tokens)`
+(`distillation_manager.py:120-123`) because its teacher and student passes are
+separate host-driven micro-steps over the *same batch* (`train_sp.py:341-377`).
+Here the teacher pass and all student passes live in one jitted train step, so
+the "cache" is simply the teacher's outputs carried as values — no hashing, no
+host round-trips, and the hit-rate is 100% by construction.
+
+Loss semantics matched exactly:
+- KL term (`distillation_manager.py:64-81`): logits shifted by one (drop last
+  position), temperature T, `kl_div(student_log_probs, teacher_log_probs,
+  log_target=True, reduction='batchmean') * T²` where batchmean divides by
+  B*(T-1) rows.
+- Feature term (`distillation_manager.py:82-111`): MSE between one randomly
+  chosen hidden layer (or the mean over all layers when `accumulative`).
+  NOTE: the reference collects hidden states with `.clone().detach()`
+  (`models_sp.py:322,331`) for *both* teacher and student, so the feature term
+  contributes loss value but **no gradient** — we reproduce this faithfully
+  (our model stop-gradients collected hidden states).
+- total = alpha_kl * kl + alpha_feature * feature
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class TeacherOutputs(NamedTuple):
+    """On-device 'teacher cache' for one batch (always a hit by construction)."""
+
+    logits: jax.Array  # (B, T, V)
+    hidden_states: jax.Array  # (L+1, B, T, d)
+
+
+def kl_distillation_loss(student_logits, teacher_logits, temperature: float):
+    """Temperature-scaled KL on shifted logits (`distillation_manager.py:64-81`)."""
+    T = temperature
+    t = jax.lax.stop_gradient(teacher_logits)[:, :-1].astype(jnp.float32)
+    s = student_logits[:, :-1].astype(jnp.float32)
+    t_logp = jax.nn.log_softmax(t / T, axis=-1)
+    s_logp = jax.nn.log_softmax(s / T, axis=-1)
+    # kl_div(input=student_logp, target=teacher_logp, log_target=True):
+    # sum target.exp() * (target - input), batchmean over B*(T-1) rows
+    kl = jnp.sum(jnp.exp(t_logp) * (t_logp - s_logp), axis=-1)
+    return jnp.mean(kl) * (T * T)
+
+
+def feature_distillation_loss(student_hidden, teacher_hidden, layer_idx,
+                              accumulative: bool = False):
+    """Hidden-state MSE (`distillation_manager.py:82-111`).
+
+    `layer_idx` is a traced index selecting the randomly-chosen layer
+    (random-layer mode); `accumulative=True` averages over all layers.
+    Both inputs arrive already stop-gradiented by the model (see module doc).
+    """
+    t = jax.lax.stop_gradient(teacher_hidden)
+    s = student_hidden
+    if accumulative:
+        return jnp.mean(jnp.square(s - t))
+    s_l = jnp.take(s, layer_idx, axis=0)
+    t_l = jnp.take(t, layer_idx, axis=0)
+    return jnp.mean(jnp.square(s_l - t_l))
+
+
+def distillation_loss(student_logits, student_hidden, teacher: TeacherOutputs,
+                      layer_idx, *, alpha_kl: float, alpha_feature: float,
+                      temperature: float, accumulative: bool = False):
+    """Total student loss (`distillation_manager.py:112-116`)."""
+    kl = kl_distillation_loss(student_logits, teacher.logits, temperature)
+    feat = feature_distillation_loss(
+        student_hidden, teacher.hidden_states, layer_idx, accumulative
+    )
+    return alpha_kl * kl + alpha_feature * feat
