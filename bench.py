@@ -1,14 +1,20 @@
-"""Decode-throughput benchmark: SP GPT-2 124M, INT8 slot, KV-cached decode.
+"""Decode-throughput benchmark: SP GPT-2 124M, INT8, pre-quantized KV decode.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.md: "no tokens/s
 anywhere"; its decode recomputes the full prefix per token,
 `part1_switchable_precision/models_sp.py:460-507`), so vs_baseline is null
 and the recorded tokens/s/chip series is the round-over-round target.
+
+Path under test (`llm_qat_tpu/models/inference.py`): weights fake-quantized
+once (bf16 storage), python-unrolled layers, per-layer donated KV caches,
+decode under one jitted lax.scan. Completion is forced with a host transfer
+(block_until_ready is unreliable through the axon tunnel with donated
+buffers).
 """
 
+import functools
 import json
-import sys
 import time
 
 import numpy as np
@@ -19,13 +25,11 @@ def main():
     import jax.numpy as jnp
 
     from llm_qat_tpu.models import (
-        GPT2Config,
-        QuantConfig,
-        SPModelConfig,
-        init_sp_params,
-        prec_tables,
+        GPT2Config, QuantConfig, SPModelConfig, init_sp_params,
     )
-    from llm_qat_tpu.models.generate import forward_with_cache, init_kv_cache
+    from llm_qat_tpu.models.inference import (
+        infer_forward_unrolled, init_layer_caches, quantize_for_inference,
+    )
     from llm_qat_tpu.train.calibration_manager import calibrate_weight_quantizers
 
     B = 8
@@ -37,46 +41,42 @@ def main():
         quant=QuantConfig(bit_widths=(4, 8, 32)),
         compute_dtype="bfloat16",
     )
-    tables = prec_tables(cfg.quant)
     params = init_sp_params(jax.random.PRNGKey(0), cfg)
     params = calibrate_weight_quantizers(params, cfg)
-    # input scales: benign defaults are fine for a throughput benchmark
-    prec = jnp.int32(cfg.quant.prec_index(8))
+    iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.model.vocab_size, (B, PROMPT)))
-
-    max_len = PROMPT + NEW
-    cache0 = init_kv_cache(cfg, B, max_len, dtype=jnp.bfloat16)
+    T_max = PROMPT + NEW
 
     @jax.jit
-    def prefill(params, ids, prec):
-        return forward_with_cache(params, ids, prec, cfg, cache0, tables)
+    def prefill(iparams, ids, caches):
+        return infer_forward_unrolled(iparams, ids, cfg, caches, jnp.int32(0))
 
-    @jax.jit
-    def decode_n(params, tok0, cache, prec):
-        def body(carry, _):
-            tok, cache = carry
-            logits, cache = forward_with_cache(params, tok, prec, cfg, cache,
-                                               tables)
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_n(iparams, tok0, caches, length0):
+        def body(carry, i):
+            tok, caches = carry
+            logits, caches, _ = infer_forward_unrolled(
+                iparams, tok, cfg, caches, length0 + i)
             nxt = jnp.argmax(logits[:, -1:], axis=-1)
-            return (nxt, cache), nxt[:, 0]
+            return (nxt, caches), nxt[:, 0]
 
-        (_, cache), toks = jax.lax.scan(body, (tok0, cache), None, length=NEW)
-        return toks, cache
+        (_, caches), toks = jax.lax.scan(body, (tok0, caches), jnp.arange(NEW))
+        return toks, caches
 
-    logits, cache = prefill(params, prompt, prec)
+    caches = init_layer_caches(cfg, B, T_max)
+    logits, caches, _ = prefill(iparams, prompt, caches)
     tok0 = jnp.argmax(logits[:, -1:], axis=-1)
 
-    # warmup (compile)
-    toks, _ = decode_n(params, tok0, cache, prec)
-    toks.block_until_ready()
+    toks, caches = decode_n(iparams, tok0, caches, jnp.int32(PROMPT))
+    np.asarray(toks)  # warmup + force completion
 
     n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        toks, _ = decode_n(params, tok0, cache, prec)
-    toks.block_until_ready()
+        toks, caches = decode_n(iparams, tok0, caches, jnp.int32(PROMPT))
+        np.asarray(toks)
     dt = (time.perf_counter() - t0) / n_rep
 
     tps = B * NEW / dt

@@ -38,8 +38,19 @@ class ByteTokenizer:
         return bytes(i for i in ids if i < 256).decode("utf-8", errors="replace")
 
 
+def _offline_env_defaults():
+    """Fail fast instead of hanging on hub retries in zero-egress
+    environments; users with network can export HF_HUB_OFFLINE=0."""
+    import os
+
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+    os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+
+
 def get_gpt2_tokenizer():
     """GPT-2 BPE tokenizer if available (hub/cache), else ByteTokenizer."""
+    _offline_env_defaults()
     try:
         from transformers import GPT2TokenizerFast
 
@@ -85,6 +96,7 @@ def load_wikitext(version: str = "wikitext-2-raw-v1", split: str = "train",
     (`part2 dataset.py:12-15`), eval uses test/validation splits
     (`part3 perplexity_eval.py:21-27`).
     """
+    _offline_env_defaults()
     try:
         from datasets import load_dataset
 
@@ -107,8 +119,17 @@ def chunk_tokens(tokens: np.ndarray, max_length: int, doc_stride: int,
     `drop_partial=True` + stride == max_length: part2 semantics
     (`part2 dataset.py:24-34` — non-overlapping full windows only).
     Returns (input_ids (N, max_length), labels (N, max_length)).
+
+    Uses the native C++ kernel (native/fast_data.cpp) when available; the
+    Python loop below is the reference implementation and fallback.
     """
     tokens = np.asarray(tokens, np.int32)
+    from . import native as _native
+
+    nat = _native.chunk_tokens_native(tokens, max_length, doc_stride, pad_id,
+                                      drop_partial)
+    if nat is not None:
+        return nat
     ids_rows, label_rows = [], []
     step = doc_stride if doc_stride > 0 else max_length
     for start in range(0, max(len(tokens) - 1, 0), step):

@@ -370,7 +370,9 @@ def sp_forward(
     logits = jnp.dot(h, params["wte"].T.astype(h.dtype),
                      preferred_element_type=jnp.float32)
 
-    out = {"logits": logits}
+    # live (gradient-carrying) trunk output for task heads (QA); the entries
+    # in `hidden_states` are detached to mirror the reference's collection.
+    out = {"logits": logits, "trunk": h}
 
     if output_hidden_states:
         final = jax.lax.stop_gradient(h)[None]

@@ -7,6 +7,7 @@ from .mesh import (
     shard_params,
     sp_param_specs,
 )
+from .ring_attention import ring_attention
 
 __all__ = [
     "batch_sharding",
@@ -14,4 +15,5 @@ __all__ = [
     "replicated",
     "shard_params",
     "sp_param_specs",
+    "ring_attention",
 ]

@@ -1,0 +1,149 @@
+"""Inference-path equivalence: pre-quantized forward must match the training
+forward at the same precision (fake-quant is idempotent on grid values)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_qat_tpu.models import (
+    init_sp_params,
+    prec_tables,
+    sp_forward,
+    tiny_test_config,
+)
+from llm_qat_tpu.models.generate import forward_with_cache, init_kv_cache
+from llm_qat_tpu.models.inference import (
+    infer_forward_with_cache,
+    quantize_for_inference,
+)
+from llm_qat_tpu.train import CalibrationManager
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config((4, 8, 32))
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batches = [jnp.asarray(rng.integers(0, cfg.model.vocab_size, (2, 16)))
+               for _ in range(2)]
+    mgr = CalibrationManager(cfg, 2)
+    params = mgr.calibrate_all_precisions(params, batches)
+    return cfg, params, prec_tables(cfg.quant), batches
+
+
+class TestPrequantizedEquivalence:
+    @pytest.mark.parametrize("bits", [4, 8])
+    def test_matches_training_path(self, setup, bits):
+        cfg, params, tables, batches = setup
+        ids = batches[0][:, :12]
+        want = np.asarray(
+            sp_forward(params, ids, cfg.quant.prec_index(bits), cfg,
+                       tables=tables)["logits"]
+        )
+        iparams = quantize_for_inference(params, cfg, bits, dtype=jnp.float32)
+        cache = init_kv_cache(cfg, ids.shape[0], ids.shape[1])
+        got, _ = infer_forward_with_cache(iparams, ids, cfg, cache)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+    def test_decode_steps_match(self, setup):
+        cfg, params, tables, batches = setup
+        ids = batches[0][:1, :6]
+        iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.float32)
+        cache = init_kv_cache(cfg, 1, 10)
+        logits, cache = infer_forward_with_cache(iparams, ids, cfg, cache)
+        toks = [int(jnp.argmax(logits[0, -1]))]
+        for _ in range(3):
+            nxt = jnp.asarray([[toks[-1]]])
+            logits, cache = infer_forward_with_cache(iparams, nxt, cfg, cache)
+            toks.append(int(jnp.argmax(logits[0, -1])))
+
+        # reference: full recompute through the training path
+        cur = ids
+        ref = []
+        for _ in range(4):
+            full = sp_forward(params, cur, cfg.quant.prec_index(8), cfg,
+                              tables=tables)["logits"]
+            t = int(jnp.argmax(full[0, -1]))
+            ref.append(t)
+            cur = jnp.concatenate([cur, jnp.asarray([[t]])], axis=1)
+        assert toks == ref
+
+    def test_bf16_close(self, setup):
+        cfg, params, tables, batches = setup
+        ids = batches[0][:, :8]
+        want = np.asarray(
+            sp_forward(params, ids, cfg.quant.prec_index(8), cfg,
+                       tables=tables)["logits"]
+        )
+        iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16)
+        cache = init_kv_cache(cfg, ids.shape[0], ids.shape[1],
+                              dtype=jnp.bfloat16)
+        got, _ = infer_forward_with_cache(iparams, ids, cfg, cache)
+        # bf16 storage: agreement to ~1e-2 relative
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0.1, atol=0.15)
+
+
+class TestUnrolledDecode:
+    def test_unrolled_matches_scan_path(self, setup):
+        from llm_qat_tpu.models.inference import (
+            infer_forward_unrolled,
+            init_layer_caches,
+        )
+        import jax.numpy as jnp
+
+        cfg, params, tables, batches = setup
+        ids = batches[0][:, :10]
+        iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.float32)
+
+        cache = init_kv_cache(cfg, ids.shape[0], 10)
+        want, _ = infer_forward_with_cache(iparams, ids, cfg, cache)
+
+        # size 11: room for the incremental step below
+        caches = init_layer_caches(cfg, ids.shape[0], 11, dtype=jnp.float32)
+        got, new_caches, new_len = infer_forward_unrolled(
+            iparams, ids, cfg, caches, jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        assert int(new_len) == 10
+        # incremental step also matches
+        nxt = jnp.argmax(got[:, -1:], axis=-1)
+        l2, _, _ = infer_forward_unrolled(iparams, nxt, cfg, new_caches,
+                                          new_len)
+        cache2 = init_kv_cache(cfg, ids.shape[0], 11)
+        full = jnp.concatenate([ids, nxt], axis=1)
+        w2, _ = infer_forward_with_cache(iparams, full, cfg, cache2)
+        np.testing.assert_allclose(np.asarray(l2[:, -1]),
+                                   np.asarray(w2[:, -1]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestInferenceEngine:
+    def test_engine_greedy_matches_generate(self, setup):
+        from llm_qat_tpu.models.generate import generate
+        from llm_qat_tpu.models.inference import InferenceEngine
+        import jax.numpy as jnp
+
+        cfg, params, tables, batches = setup
+        prompt = batches[0][:1, :5]
+        eng = InferenceEngine(params, cfg, bits=8, max_batch=2, max_len=32,
+                              dtype=jnp.float32)
+        got = eng.generate(prompt, max_new_tokens=6, do_sample=False)
+        want = generate(params, prompt, cfg.quant.prec_index(8), cfg,
+                        max_new_tokens=6, do_sample=False, tables=tables)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_engine_eos_freeze(self, setup):
+        from llm_qat_tpu.models.inference import InferenceEngine
+        import jax, jax.numpy as jnp
+
+        cfg, params, tables, batches = setup
+        eng = InferenceEngine(params, cfg, bits=8, max_batch=2, max_len=32,
+                              dtype=jnp.float32)
+        out = eng.generate(batches[0][:1, :4], max_new_tokens=8,
+                           do_sample=True, temperature=1.0, eos_token_id=0,
+                           rng=jax.random.PRNGKey(5))
+        toks = np.asarray(out)[0, 4:]
+        if (toks == 0).any():
+            first = int(np.argmax(toks == 0))
+            assert np.all(toks[first:] == 0)

@@ -1,0 +1,111 @@
+"""Pallas kernel numerics tests (interpret mode on CPU) — SURVEY.md §4.4:
+kernel-vs-reference numerics for the fused dequant matmul and flash attention.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_qat_tpu.ops.attention import (
+    causal_attention_reference,
+    flash_attention,
+)
+from llm_qat_tpu.ops.quant_matmul import (
+    pack_int4,
+    pack_int8,
+    quant_matmul_int4,
+    quant_matmul_int4_reference,
+    quant_matmul_int8,
+    quant_matmul_int8_reference,
+    unpack_int4,
+)
+
+
+class TestPacking:
+    def test_int8_roundtrip_error(self):
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(64, 32)).astype(np.float32)
+        q, s = pack_int8(w)
+        deq = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+        assert np.max(np.abs(deq - w)) <= np.asarray(s).max() * 0.51
+
+    def test_int4_pack_unpack_exact(self):
+        rng = np.random.default_rng(1)
+        w = rng.normal(size=(16, 8)).astype(np.float32)
+        packed, s = pack_int4(w)
+        assert packed.shape == (8, 8)
+        q = np.asarray(unpack_int4(packed))
+        assert q.min() >= -7 and q.max() <= 7
+        deq = q * np.asarray(s)[None, :]
+        assert np.max(np.abs(deq - w)) <= np.asarray(s).max() * 0.51
+
+    def test_per_tensor_scale(self):
+        w = np.ones((4, 4), np.float32) * 3.0
+        q, s = pack_int8(w, per_channel=False)
+        assert s.shape == (1,)
+        np.testing.assert_allclose(float(s[0]), 3.0 / 127.0, rtol=1e-6)
+
+
+class TestQuantMatmulKernels:
+    def test_int8_kernel_matches_reference(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(8, 128)).astype(np.float32)
+        w = rng.normal(size=(128, 256)).astype(np.float32)
+        q, s = pack_int8(w)
+        want = np.asarray(quant_matmul_int8_reference(x, q, s))
+        got = np.asarray(quant_matmul_int8(jnp.asarray(x), q, s,
+                                           block_n=128, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-1)  # bf16 kernel compute
+
+    def test_int4_kernel_matches_reference(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(8, 128)).astype(np.float32)
+        w = rng.normal(size=(128, 256)).astype(np.float32)
+        packed, s = pack_int4(w)
+        want = np.asarray(quant_matmul_int4_reference(x, packed, s))
+        got = np.asarray(quant_matmul_int4(jnp.asarray(x), packed, s,
+                                           block_n=128, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-1)  # bf16 kernel compute
+
+    def test_uneven_n_blocks(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(4, 64)).astype(np.float32)
+        w = rng.normal(size=(64, 384)).astype(np.float32)
+        q, s = pack_int8(w)
+        want = np.asarray(quant_matmul_int8_reference(x, q, s))
+        got = np.asarray(quant_matmul_int8(jnp.asarray(x), q, s,
+                                           block_n=256, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-1)  # bf16 kernel compute
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("T", [128, 256])
+    def test_matches_dense_reference(self, T):
+        rng = np.random.default_rng(5)
+        B, H, D = 1, 2, 64
+        q = rng.normal(size=(B, H, T, D)).astype(np.float32)
+        k = rng.normal(size=(B, H, T, D)).astype(np.float32)
+        v = rng.normal(size=(B, H, T, D)).astype(np.float32)
+        want = np.asarray(causal_attention_reference(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        got = np.asarray(flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            block_q=64, block_k=64, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_causality(self):
+        """Changing future K/V must not affect earlier outputs."""
+        rng = np.random.default_rng(6)
+        B, H, T, D = 1, 1, 128, 64
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        out1 = np.asarray(flash_attention(q, k, v, block_q=64, block_k=64,
+                                          interpret=True))
+        k2 = k.at[:, :, 100:].set(99.0)
+        v2 = v.at[:, :, 100:].set(-99.0)
+        out2 = np.asarray(flash_attention(q, k2, v2, block_q=64, block_k=64,
+                                          interpret=True))
+        np.testing.assert_allclose(out1[:, :, :100], out2[:, :, :100],
+                                   rtol=1e-5, atol=1e-5)

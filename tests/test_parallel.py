@@ -88,3 +88,41 @@ class TestShardedExecution:
         # sharding preserved on updated params
         w_shard = new_state.params["blocks"]["c_attn"]["w"].sharding
         assert w_shard.spec == P(None, None, "model")
+
+
+class TestRingAttention:
+    def test_matches_dense_reference(self):
+        """Ring attention over the 8-device mesh == dense causal attention."""
+        from jax.sharding import Mesh
+        from llm_qat_tpu.ops.attention import causal_attention_reference
+        from llm_qat_tpu.parallel.ring_attention import ring_attention
+
+        rng = np.random.default_rng(0)
+        B, H, T, D = 2, 4, 64, 16  # T=64 over 8 devices → 8 per shard
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("sp",))
+        got = np.asarray(ring_attention(q, k, v, mesh, axis_name="sp"))
+        want = np.asarray(causal_attention_reference(q, k, v))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_causality_across_shards(self):
+        """Future-shard K/V must not leak into earlier query shards."""
+        from jax.sharding import Mesh
+        from llm_qat_tpu.parallel.ring_attention import ring_attention
+
+        rng = np.random.default_rng(1)
+        B, H, T, D = 1, 2, 32, 8
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("sp",))
+        out1 = np.asarray(ring_attention(q, k, v, mesh, "sp"))
+        # poison the last shard (positions 28..31)
+        k2 = k.at[:, :, 28:].set(50.0)
+        v2 = v.at[:, :, 28:].set(-50.0)
+        out2 = np.asarray(ring_attention(q, k2, v2, mesh, "sp"))
+        np.testing.assert_allclose(out1[:, :, :28], out2[:, :, :28],
+                                   rtol=1e-5, atol=1e-5)
