@@ -44,6 +44,7 @@ def main():
     params = init_sp_params(jax.random.PRNGKey(0), cfg)
     params = calibrate_weight_quantizers(params, cfg)
     iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16)
+    static = iparams.pop("_static")  # static precision → cond-free kernels
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.model.vocab_size, (B, PROMPT)))
@@ -51,14 +52,15 @@ def main():
 
     @jax.jit
     def prefill(iparams, ids, caches):
-        return infer_forward_unrolled(iparams, ids, cfg, caches, jnp.int32(0))
+        return infer_forward_unrolled(iparams, ids, cfg, caches, jnp.int32(0),
+                                      static=static)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_n(iparams, tok0, caches, length0):
         def body(carry, i):
             tok, caches = carry
             logits, caches, _ = infer_forward_unrolled(
-                iparams, tok, cfg, caches, length0 + i)
+                iparams, tok, cfg, caches, length0 + i, static=static)
             nxt = jnp.argmax(logits[:, -1:], axis=-1)
             return (nxt, caches), nxt[:, 0]
 

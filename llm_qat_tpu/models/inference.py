@@ -21,10 +21,44 @@ from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..quant.functional import fake_quant
+from ..quant.functional import (
+    KIND_LOG,
+    _log_fwd_math,
+    _minmax_fwd_math,
+    fake_quant,
+)
 from .config import SPModelConfig
 from .sp_model import PrecTables, dynamic_scale, prec_tables, switchable_layernorm
+
+
+class StaticMeta(NamedTuple):
+    """Static (hashable, non-traced) precision metadata for an inference tree.
+
+    Registered as a leaf-free aux via NamedTuple of python ints — jit treats
+    ints inside pytrees as traced leaves, so the engine pulls this out of the
+    tree before jitting (see InferenceEngine / infer_forward_unrolled)."""
+
+    bits: int
+    kind: int
+
+
+def _static_fake_quant(x, scale, zp, bits: int, kind: int, symmetric: bool,
+                       eps: float):
+    """Fake-quant with STATIC bits/kind — no lax.cond/switch.
+
+    The traced-dispatch `fake_quant` emits a real XLA conditional per call;
+    at inference the precision is fixed, and profiling showed ~48 cond ops
+    per decode step costing ~4.5us each. Static specialization lets XLA fuse
+    the quantization into its neighbors. No custom_vjp needed (no grads at
+    inference).
+    """
+    if bits >= 32:
+        return x
+    if kind == KIND_LOG:
+        return _log_fwd_math(x, zp, scale, float(bits), symmetric, eps)
+    return _minmax_fwd_math(x, scale, zp, float(bits), symmetric)
 
 
 def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
@@ -91,17 +125,29 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
             "mlp_proj": conv_linear(blocks["mlp_proj"]),
         },
         "ln_f": conv_ln(params["ln_f"], stacked=False),
+        # static python values — consumed by the cond-free inference path;
+        # stored outside the pytree leaves via StaticMeta below
         "_bits": jnp.float32(bits),
         "_kind": tables.kind[p_idx],
     }
+    out["_static"] = StaticMeta(
+        bits=int(bits),
+        kind=int(np.asarray(tables.kind[p_idx])),
+    )
     return out
 
 
-def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool):
+def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool,
+                  static: "StaticMeta" = None):
     q = cfg.quant
     if quantize_input:
-        xq = fake_quant(x, lin["iq_scale"], lin["iq_zp"], bits, kind,
-                        q.symmetric, q.eps)
+        if static is not None:
+            xq = _static_fake_quant(x, lin["iq_scale"], lin["iq_zp"],
+                                    static.bits, static.kind, q.symmetric,
+                                    q.eps)
+        else:
+            xq = fake_quant(x, lin["iq_scale"], lin["iq_zp"], bits, kind,
+                            q.symmetric, q.eps)
     else:
         xq = x
     cdt = lin["w_q"].dtype
@@ -134,7 +180,8 @@ def init_layer_caches(cfg: SPModelConfig, batch: int, max_len: int,
 
 
 def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
-                           length, *, quantize_input: bool = True):
+                           length, *, quantize_input: bool = True,
+                           static: Optional[StaticMeta] = None):
     """Decode-optimized forward: python-unrolled layers + tuple caches.
 
     Unrolling (vs `lax.scan` over stacked layer weights) removes the
@@ -143,6 +190,7 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
     Returns (logits, new_caches, new_length).
     """
     m = cfg.model
+    iparams = {k: v for k, v in iparams.items() if k != "_static"}
     bits = iparams["_bits"]
     kind = iparams["_kind"]
     B, S = input_ids.shape
@@ -157,7 +205,8 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
     for li in range(m.n_layer):
         bp = jax.tree.map(lambda a: a[li], blocks)
         hn = _ln(h, bp["ln1"]["g"], bp["ln1"]["b"], m.layer_norm_epsilon)
-        qkv = _infer_linear(hn, bp["c_attn"], bits, kind, cfg, quantize_input)
+        qkv = _infer_linear(hn, bp["c_attn"], bits, kind, cfg,
+                            quantize_input, static)
         qh, kh, vh = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -180,13 +229,14 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
         attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1).astype(h.dtype)
         h = h + _infer_linear(attn, bp["attn_proj"], bits, kind, cfg,
-                              quantize_input).astype(h.dtype)
+                              quantize_input, static).astype(h.dtype)
 
         h2 = _ln(h, bp["ln2"]["g"], bp["ln2"]["b"], m.layer_norm_epsilon)
-        fc = _infer_linear(h2, bp["c_fc"], bits, kind, cfg, quantize_input)
+        fc = _infer_linear(h2, bp["c_fc"], bits, kind, cfg, quantize_input,
+                           static)
         fc = jax.nn.gelu(fc, approximate=False).astype(h.dtype)
         h = h + _infer_linear(fc, bp["mlp_proj"], bits, kind, cfg,
-                              quantize_input).astype(h.dtype)
+                              quantize_input, static).astype(h.dtype)
 
     h = _ln(h, iparams["ln_f"]["g"], iparams["ln_f"]["b"],
             m.layer_norm_epsilon)
@@ -278,11 +328,14 @@ class InferenceEngine:
         self.max_len = min(max_len, cfg.model.n_positions)
         self.dtype = dtype
         self.iparams = quantize_for_inference(params, cfg, bits, dtype)
+        # static precision meta closed over by the jitted fns (cond-free path)
+        static = self.iparams.pop("_static")
+        self.static = static
 
         @jax.jit
         def _prefill(iparams, ids, caches):
             return infer_forward_unrolled(iparams, ids, cfg, caches,
-                                          jnp.int32(0))
+                                          jnp.int32(0), static=static)
 
         @partial(jax.jit, static_argnames=("n_new", "temperature", "top_k",
                                            "top_p", "do_sample",
@@ -304,7 +357,7 @@ class InferenceEngine:
                 tok, caches, done = carry
                 i, r = xs
                 logits, caches, _ = infer_forward_unrolled(
-                    iparams, tok, cfg, caches, length0 + i)
+                    iparams, tok, cfg, caches, length0 + i, static=static)
                 nxt = sample(logits[:, -1], r)
                 if eos_token_id is not None:
                     nxt = jnp.where(done, eos_token_id, nxt)

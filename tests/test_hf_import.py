@@ -82,3 +82,24 @@ class TestHFParity:
         np.testing.assert_array_equal(g[:, 0], g[:, 1])
         want = hf.transformer.h[0].ln_1.weight.detach().numpy()
         np.testing.assert_allclose(g[0, 0], want, rtol=1e-6)
+
+
+class TestCheckPretrainedInit:
+    def test_report_matches_after_import(self, pair):
+        from llm_qat_tpu.cli.check_init import compare_with_pretrained
+
+        hf, cfg, params = pair
+        report = compare_with_pretrained(params, hf.state_dict())
+        assert report["summary"]["initialized_from_pretrained"]
+        assert report["summary"]["n_mismatch"] == 0
+
+    def test_detects_divergence(self, pair):
+        from llm_qat_tpu.cli.check_init import compare_with_pretrained
+        import jax.numpy as jnp
+
+        hf, cfg, params = pair
+        p2 = dict(params)
+        p2["wte"] = params["wte"] + 1.0
+        report = compare_with_pretrained(p2, hf.state_dict())
+        assert not report["summary"]["initialized_from_pretrained"]
+        assert any(m[0] == "wte" for m in report["mismatches"])

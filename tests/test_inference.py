@@ -147,3 +147,30 @@ class TestInferenceEngine:
         if (toks == 0).any():
             first = int(np.argmax(toks == 0))
             assert np.all(toks[first:] == 0)
+
+
+class TestStaticQuantPath:
+    def test_static_matches_traced(self, setup):
+        """Cond-free static-precision path == traced-dispatch path."""
+        from llm_qat_tpu.models.inference import (
+            infer_forward_unrolled,
+            init_layer_caches,
+        )
+        import jax.numpy as jnp
+
+        cfg, params, tables, batches = setup
+        ids = batches[0][:, :8]
+        for bits in (4, 8):
+            iparams = quantize_for_inference(params, cfg, bits,
+                                             dtype=jnp.float32)
+            static = iparams.pop("_static")
+            assert static.bits == bits
+            caches = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+            traced, _, _ = infer_forward_unrolled(
+                iparams, ids, cfg, caches, jnp.int32(0))
+            caches = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+            staticp, _, _ = infer_forward_unrolled(
+                iparams, ids, cfg, caches, jnp.int32(0), static=static)
+            np.testing.assert_allclose(np.asarray(staticp),
+                                       np.asarray(traced),
+                                       rtol=1e-5, atol=1e-5)
