@@ -149,11 +149,16 @@ class _AttackBase:
     """
 
     def __init__(self, metrics_fn: Callable, embed_fn: Optional[Callable] = None,
-                 sim_threshold: float = 0.7, max_perturb_ratio: float = 0.3):
+                 sim_threshold: float = 0.7, max_perturb_ratio: float = 0.3,
+                 importance_fn: Optional[Callable] = None):
         self.metrics_fn = metrics_fn
         self.embed_fn = embed_fn
         self.sim_threshold = sim_threshold
         self.max_perturb_ratio = max_perturb_ratio
+        # optional override: importance_fn(words) -> list[float]; the SP
+        # reference ranks words by grad-norm of inputs_embeds
+        # (adversarial_attacks.py:75-103) — see make_gradient_importance_fn
+        self.importance_fn = importance_fn
 
     def _similar(self, a: str, b: str, threshold: Optional[float] = None) -> bool:
         if self.embed_fn is None:
@@ -188,7 +193,10 @@ class _AttackBase:
                     "adversarial_text": text, "num_changes": 0,
                     "perturb_ratio": 0.0, "accuracy_drop": 0.0}
 
-        importance = self.word_importance(words, orig_loss)
+        if self.importance_fn is not None:
+            importance = self.importance_fn(words)
+        else:
+            importance = self.word_importance(words, orig_loss)
         order = np.argsort(importance)[::-1]
         max_changes = max(1, int(len(words) * self.max_perturb_ratio))
 
@@ -236,8 +244,9 @@ class TextFoolerAttack(_AttackBase):
 
     def __init__(self, metrics_fn, embed_fn=None, synonyms=None,
                  max_candidates: int = 10, sim_threshold: float = 0.7,
-                 max_perturb_ratio: float = 0.3):
-        super().__init__(metrics_fn, embed_fn, sim_threshold, max_perturb_ratio)
+                 max_perturb_ratio: float = 0.3, importance_fn=None):
+        super().__init__(metrics_fn, embed_fn, sim_threshold,
+                         max_perturb_ratio, importance_fn)
         self.synonyms = synonyms or make_synonym_provider()
         self.max_candidates = max_candidates
 
@@ -257,8 +266,9 @@ class BERTAttack(_AttackBase):
 
     def __init__(self, metrics_fn, embed_fn=None, proposer=None,
                  top_k: int = 8, sim_threshold: float = 0.4,
-                 max_perturb_ratio: float = 0.3):
-        super().__init__(metrics_fn, embed_fn, sim_threshold, max_perturb_ratio)
+                 max_perturb_ratio: float = 0.3, importance_fn=None):
+        super().__init__(metrics_fn, embed_fn, sim_threshold,
+                         max_perturb_ratio, importance_fn)
         self.proposer = proposer or make_mlm_proposer()
         self.top_k = top_k
 
@@ -304,3 +314,55 @@ class AttackEvaluator:
                 results["successful_attacks"] / results["total_samples"]
             )
         return results
+
+
+def make_gradient_importance_fn(params, cfg, tokenizer, tables=None,
+                                prec_idx: int = 0):
+    """Word importance via grad-norm of input embeddings (reference SP path,
+    `adversarial_attacks.py:75-103`): backprop the LM loss to inputs_embeds,
+    take the per-token gradient L2 norm, average tokens per word.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.sp_model import prec_tables, sp_forward
+
+    if tables is None:
+        tables = prec_tables(cfg.quant)
+
+    @jax.jit
+    def token_grad_norms(embeds, ids):
+        def loss_fn(e):
+            out = sp_forward(params, None, jnp.int32(prec_idx), cfg,
+                             tables=tables, inputs_embeds=e)
+            from ..models.sp_model import lm_cross_entropy
+
+            return lm_cross_entropy(out["logits"], ids)
+
+        g = jax.grad(loss_fn)(embeds)
+        return jnp.linalg.norm(g, axis=-1)[0]  # (T,)
+
+    import numpy as np
+
+    def importance_fn(words):
+        # map words to token ranges, then average grad norms per word
+        tok_ranges = []
+        all_ids = []
+        for w in words:
+            ids = tokenizer(w)
+            tok_ranges.append((len(all_ids), len(all_ids) + len(ids)))
+            all_ids.extend(ids)
+        if len(all_ids) < 2:
+            return [0.0] * len(words)
+        ids = jnp.asarray(np.asarray(all_ids, np.int32)[None])
+        wpe_limit = cfg.model.n_positions
+        ids = ids[:, :wpe_limit]
+        embeds = params["wte"][ids]
+        norms = np.asarray(token_grad_norms(embeds, ids))
+        out = []
+        for (a, b) in tok_ranges:
+            b = min(b, len(norms))
+            out.append(float(norms[a:b].mean()) if b > a else 0.0)
+        return out
+
+    return importance_fn

@@ -176,3 +176,29 @@ class TestWithRealModel:
         switched = ev.evaluate_with_switching(samples, 0.5, seed=1)
         assert np.isfinite(switched["perplexity"])
         assert switched["statistics"]["total_forwards"] == 3
+
+
+class TestGradientImportance:
+    def test_gradient_importance_ranks_words(self):
+        from llm_qat_tpu.data import ByteTokenizer
+        from llm_qat_tpu.robustness.attacks import (
+            TextFoolerAttack,
+            StaticSynonyms,
+            make_gradient_importance_fn,
+        )
+
+        cfg = tiny_test_config((8, 32))
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        tok = ByteTokenizer()
+        imp_fn = make_gradient_importance_fn(params, cfg, tok, prec_idx=1)
+        scores = imp_fn(["the", "big", "cat"])
+        assert len(scores) == 3
+        assert all(s >= 0 for s in scores)
+        assert sum(scores) > 0
+
+        # pluggable into the attack
+        victim = _ToyVictim()
+        atk = TextFoolerAttack(victim.metrics, synonyms=StaticSynonyms(),
+                               importance_fn=imp_fn)
+        r = atk.generate_adversarial("the big cat ran")
+        assert "adversarial_text" in r
