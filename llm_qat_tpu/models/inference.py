@@ -62,7 +62,8 @@ def _static_fake_quant(x, scale, zp, bits: int, kind: int, symmetric: bool,
 
 
 def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
-                           dtype=jnp.bfloat16) -> Dict[str, Any]:
+                           dtype=jnp.bfloat16,
+                           weight_format: str = "dense") -> Dict[str, Any]:
     """Materialize a single-precision inference param tree.
 
     Per linear: `w_q` = fake-quant(W) at `bits` (already includes the scale
@@ -86,11 +87,22 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
                         lin["wq_zp"][:, p_idx][:, None, :],
                         bits_t, kind_t, q.symmetric, q.eps)
         out = {
-            "w_q": wq.astype(dtype),
             "b": lin["b"],
             "iq_scale": lin["iq_scale"][:, p_idx],
             "iq_zp": lin["iq_zp"][:, p_idx],
         }
+        if weight_format == "int8":
+            # int8 codes + per-out-channel scale; EXACT for minmax-kind
+            # precisions (fake-quanted values sit on the int grid), a second
+            # 8-bit re-quantization for log-kind (adds ~scale/2 error). Halves
+            # weight HBM traffic vs bf16 for the Pallas fused dequant-matmul.
+            from ..ops.quant_matmul import pack_int8
+
+            codes, scales = jax.vmap(lambda wl: pack_int8(wl, True))(wq)
+            out["w_int8"] = codes  # (L, in, out) int8
+            out["w_s"] = scales  # (L, out) f32
+        else:
+            out["w_q"] = wq.astype(dtype)
         if q.max_rank > 0 and scaling > 0.0:
             A = lin["lora_A"][:, p_idx]  # (L, in, r)
             B = lin["lora_B"][:, p_idx]  # (L, r, out)
@@ -150,11 +162,22 @@ def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool,
                             q.symmetric, q.eps)
     else:
         xq = x
-    cdt = lin["w_q"].dtype
-    out = jnp.dot(xq.astype(cdt), lin["w_q"],
-                  preferred_element_type=jnp.float32) + lin["b"]
+    if "w_int8" in lin:
+        # Pallas fused dequant-matmul on TPU; jnp reference fallback on CPU
+        from ..ops.quant_matmul import quant_matmul
+
+        B_, S_, K_ = xq.shape
+        out = quant_matmul(
+            xq.reshape(B_ * S_, K_).astype(jnp.bfloat16),
+            lin["w_int8"], lin["w_s"], bits=8,
+        ).reshape(B_, S_, -1) + lin["b"]
+        cdt = jnp.bfloat16
+    else:
+        cdt = lin["w_q"].dtype
+        out = jnp.dot(xq.astype(cdt), lin["w_q"],
+                      preferred_element_type=jnp.float32) + lin["b"]
     if "lora_AB" in lin:
-        out = out + jnp.dot(x.astype(cdt), lin["lora_AB"],
+        out = out + jnp.dot(x.astype(lin["lora_AB"].dtype), lin["lora_AB"],
                             preferred_element_type=jnp.float32)
     return out
 

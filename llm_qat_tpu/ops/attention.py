@@ -128,20 +128,16 @@ def flash_attention(q, k, v, *, block_q=128, block_k=128, interpret=False):
     return out.reshape(B, H, T, D)
 
 
-def causal_attention(q, k, v, *, mask=None, use_flash=None, interpret=False):
-    """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere.
+def causal_attention(q, k, v, *, mask=None, use_flash=False, interpret=False):
+    """Dispatch: Pallas flash kernel (opt-in) or dense jnp reference.
 
-    Flash path requires no padding mask (training uses packed full windows,
-    reference `part1_switchable_precision/dataset.py:35-49`) and T % 128 == 0
-    for peak MXU tiling; otherwise falls back to the dense reference.
+    The flash path requires no padding mask and T % block == 0, and — being a
+    raw `pallas_call` — has no VJP, so the training forward keeps the dense
+    reference (XLA fuses the T×T softmax chain well at training shapes) and
+    flash stays opt-in for inference-style calls until the custom-vjp flash
+    backward lands.
     """
-    if use_flash is None:
-        use_flash = (
-            jax.default_backend() not in ("cpu",)
-            and mask is None
-            and q.shape[2] % 128 == 0
-            and q.shape[3] in (64, 128)
-        )
-    if use_flash:
+    if use_flash and mask is None and q.shape[2] % 128 == 0 \
+            and q.shape[3] in (64, 128):
         return flash_attention(q, k, v, interpret=interpret)
     return causal_attention_reference(q, k, v, mask=mask)

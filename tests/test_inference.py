@@ -174,3 +174,38 @@ class TestStaticQuantPath:
             np.testing.assert_allclose(np.asarray(staticp),
                                        np.asarray(traced),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestInt8PackedWeights:
+    def test_int8_format_close_to_dense(self, setup):
+        """int8-packed path ≈ dense path (exact for minmax-kind, re-quantized
+        for log-kind)."""
+        from llm_qat_tpu.models.inference import (
+            infer_forward_unrolled,
+            init_layer_caches,
+        )
+        import jax.numpy as jnp
+
+        cfg, params, tables, batches = setup
+        ids = batches[0][:, :8]
+        for bits in (4, 8):
+            dense = quantize_for_inference(params, cfg, bits, jnp.float32)
+            sd = dense.pop("_static")
+            packed = quantize_for_inference(params, cfg, bits, jnp.float32,
+                                            weight_format="int8")
+            sp_ = packed.pop("_static")
+            assert "w_int8" in packed["blocks"]["c_fc"]
+            assert packed["blocks"]["c_fc"]["w_int8"].dtype == jnp.int8
+
+            c1 = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+            a, _, _ = infer_forward_unrolled(dense, ids, cfg, c1,
+                                             jnp.int32(0), static=sd)
+            c2 = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+            b, _, _ = infer_forward_unrolled(packed, ids, cfg, c2,
+                                             jnp.int32(0), static=sp_)
+            a, b = np.asarray(a), np.asarray(b)
+            # logits agree closely (int8 regrid of log values adds small err;
+            # bf16 kernel compute on TPU adds more — CPU fallback is tighter)
+            corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+            assert corr > 0.99, f"{bits}: corr {corr}"
+            assert np.abs(a - b).mean() < 0.5
