@@ -257,3 +257,38 @@ def cpt_forward(params, input_ids, prec, cfg: CPTConfig, *,
 
         out["loss"] = lm_cross_entropy(logits, labels)
     return out
+
+
+def cpt_generate(params, input_ids, prec, cfg: CPTConfig, *,
+                 max_new_tokens: int = 32, temperature: float = 1.0,
+                 do_sample: bool = True, rng=None,
+                 tables: Optional[CPTTables] = None):
+    """Sampling generation for the CPT model (`cpt_model.py:298-319`).
+
+    The reference's generate does NOT use its KV-cache plumbing (`:304` calls
+    the full forward each token); we keep one jitted full forward and a host
+    loop for parity — the SP `InferenceEngine` is the production decode path.
+    """
+    if tables is None:
+        tables = cpt_tables(cfg)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    prec = jnp.asarray(prec, jnp.int32)
+
+    @jax.jit
+    def last_logits(params, ids, prec):
+        return cpt_forward(params, ids, prec, cfg, tables=tables)["logits"][:, -1]
+
+    ids = jnp.asarray(input_ids)
+    for _ in range(max_new_tokens):
+        if ids.shape[1] >= cfg.model.n_positions:
+            break
+        logits = last_logits(params, ids, prec)
+        if do_sample:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, logits / max(temperature, 1e-6),
+                                         axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
+    return ids

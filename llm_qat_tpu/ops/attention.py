@@ -141,3 +141,171 @@ def causal_attention(q, k, v, *, mask=None, use_flash=False, interpret=False):
             and q.shape[3] in (64, 128):
         return flash_attention(q, k, v, interpret=interpret)
     return causal_attention_reference(q, k, v, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Flash attention with custom VJP (training-capable)
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                      acc_scr, *, block_k, sm_scale, seq_len):
+    """Forward that also writes the log-sum-exp rows for the backward."""
+    q_blk = pl.program_id(1)
+    block_q = q_ref.shape[0]
+
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    q_offset = q_blk * block_q
+    num_k_blocks = pl.cdiv(seq_len, block_k)
+    max_kb = jnp.minimum(num_k_blocks,
+                         (q_offset + block_q + block_k - 1) // block_k)
+
+    def body(kb, _):
+        k_off = kb * block_k
+        k_tile = k_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
+        v_tile = v_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32)
+        q_ids = q_offset + jax.lax.broadcasted_iota(jnp.int32,
+                                                    (block_q, block_k), 0)
+        k_ids = k_off + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (block_q, block_k), 1)
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        m_prev = m_scr[:]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        alpha = jnp.exp(m_prev - m_cur)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v_tile, preferred_element_type=jnp.float32)
+        m_scr[:] = m_cur
+        return 0
+
+    jax.lax.fori_loop(0, max_kb, body, 0)
+    l_final = jnp.maximum(l_scr[:], 1e-30)
+    o_ref[:] = (acc_scr[:] / l_final).astype(o_ref.dtype)
+    lse_ref[:] = m_scr[:] + jnp.log(l_final)
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, block_q, sm_scale, seq_len):
+    """Backward: one program per (batch*head); loops q and k blocks.
+
+    Standard flash backward: with P = exp(q·kᵀ·scale − lse),
+    dV = Pᵀ·dO; dS = P ∘ (dO·Vᵀ − D) where D = rowsum(dO ∘ O);
+    dQ = dS·K·scale; dK = dSᵀ·Q·scale.
+    """
+    T = seq_len
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    o = o_ref[:].astype(jnp.float32)
+    lse = lse_ref[:]
+    do = do_ref[:].astype(jnp.float32)
+
+    D = jnp.sum(do * o, axis=1, keepdims=True)  # (T, 1)
+
+    s = jnp.dot(q * sm_scale, k.T, preferred_element_type=jnp.float32)
+    q_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask = q_ids >= k_ids
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+    dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - D)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
+    dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * sm_scale
+
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _flash_fwd_call(q, k, v, block_q, block_k, interpret):
+    B, H, T, D = q.shape
+    sm_scale = 1.0 / math.sqrt(D)
+    qf = q.reshape(B * H, T, D)
+    kf = k.reshape(B * H, T, D)
+    vf = v.reshape(B * H, T, D)
+    grid = (B * H, pl.cdiv(T, block_q))
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, block_k=block_k,
+                          sm_scale=sm_scale, seq_len=T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, T, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, T, D), lse.reshape(B, H, T, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_trainable(q, k, v, block_q=128, block_k=128,
+                              interpret=False):
+    """Causal flash attention with a Pallas backward (training-capable).
+
+    Forward = `flash_attention` + saved log-sum-exp; backward recomputes the
+    probability matrix per (batch, head) in one program (T×T in VMEM —
+    adequate for GPT-2's T<=1024; block the backward before scaling past
+    ~2k sequence lengths).
+    """
+    out, _ = _flash_fwd_call(q, k, v, min(block_q, q.shape[2]),
+                             min(block_k, q.shape[2]), interpret)
+    return out
+
+
+def _flash_train_fwd(q, k, v, block_q, block_k, interpret):
+    out, lse = _flash_fwd_call(q, k, v, min(block_q, q.shape[2]),
+                               min(block_k, q.shape[2]), interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_train_bwd(block_q, block_k, interpret, res, g):
+    q, k, v, out, lse = res
+    B, H, T, D = q.shape
+    sm_scale = 1.0 / math.sqrt(D)
+
+    def flat(x, d=D):
+        return x.reshape(B * H, T, d)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, block_q=min(block_q, T),
+                          sm_scale=sm_scale, seq_len=T),
+        grid=(B * H,),
+        in_specs=[pl.BlockSpec((None, T, D), lambda b: (b, 0, 0))] * 4
+        + [pl.BlockSpec((None, T, 1), lambda b: (b, 0, 0)),
+           pl.BlockSpec((None, T, D), lambda b: (b, 0, 0))],
+        out_specs=tuple(
+            pl.BlockSpec((None, T, D), lambda b: (b, 0, 0)) for _ in range(3)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype) for _ in range(3)
+        ),
+        interpret=interpret,
+    )(flat(q), flat(k), flat(v), flat(out), flat(lse, 1), flat(g))
+
+    unflat = lambda x: x.reshape(B, H, T, D)
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+flash_attention_trainable.defvjp(_flash_train_fwd, _flash_train_bwd)

@@ -7,6 +7,11 @@ from .mesh import (
     shard_params,
     sp_param_specs,
 )
+from .multihost import (
+    host_local_batch_slice,
+    initialize_multihost,
+    make_global_batch,
+)
 from .ring_attention import ring_attention
 
 __all__ = [
@@ -16,4 +21,7 @@ __all__ = [
     "shard_params",
     "sp_param_specs",
     "ring_attention",
+    "host_local_batch_slice",
+    "initialize_multihost",
+    "make_global_batch",
 ]

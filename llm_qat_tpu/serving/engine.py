@@ -1,0 +1,224 @@
+"""Continuous-batching serving engine over the pre-quantized decode path.
+
+The reference has no serving layer at all (SURVEY.md §L8: checkpoints only;
+its `generate` is a host loop with full-prefix recompute). BASELINE.json's
+north star calls for production serving with continuous batching; this module
+provides the single-chip version:
+
+- N decode *slots* share one set of per-layer KV caches (slot = batch row);
+- requests queue up and are prefilled into free slots (per-slot K/V insert);
+- one jitted decode step advances ALL active slots a token, with per-slot
+  positions (each slot has its own sequence length — attention masks and
+  cache writes are per-slot scatters);
+- finished sequences (EOS or max tokens) free their slot immediately for the
+  next queued request — no head-of-line blocking on long generations.
+
+Multi-host scale-out composes with `parallel.mesh` (shard the slot axis over
+"data", weights over "model"); this class keeps the single-chip loop simple.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import SPModelConfig
+from ..models.inference import (
+    StaticMeta,
+    _infer_linear,
+    _ln,
+    init_layer_caches,
+    quantize_for_inference,
+)
+
+
+@dataclass
+class Request:
+    req_id: int
+    prompt: np.ndarray  # (T0,) int32
+    max_new_tokens: int
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+def _decode_step(iparams, tokens, caches, lengths, active, cfg: SPModelConfig,
+                 static: StaticMeta):
+    """One token for every slot. tokens (B, 1); lengths (B,) current lengths;
+    active (B,) bool. Returns (next_token (B,), new_caches)."""
+    m = cfg.model
+    B = tokens.shape[0]
+    T_max = caches[0].shape[2]
+    bits = jnp.float32(static.bits)
+    kind = jnp.int32(static.kind)
+
+    pos = jnp.clip(lengths, 0, m.n_positions - 1)
+    h = iparams["wte"][tokens] + iparams["wpe"][pos][:, None].astype(
+        iparams["wte"].dtype)
+
+    new_caches = list(caches)
+    rows = jnp.arange(B)
+    for li in range(m.n_layer):
+        bp = jax.tree.map(lambda a: a[li], iparams["blocks"])
+        hn = _ln(h, bp["ln1"]["g"], bp["ln1"]["b"], m.layer_norm_epsilon)
+        qkv = _infer_linear(hn, bp["c_attn"], bits, kind, cfg, True, static)
+        qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, 1, m.n_head, m.head_dim).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads(qh), heads(kh), heads(vh)
+        # per-slot scatter: slot b writes its K/V at its own position
+        kc = caches[2 * li].at[rows, :, pos, :].set(
+            kh[:, :, 0, :].astype(caches[0].dtype))
+        vc = caches[2 * li + 1].at[rows, :, pos, :].set(
+            vh[:, :, 0, :].astype(caches[0].dtype))
+        new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+
+        scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
+        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kc,
+                            preferred_element_type=jnp.float32) * scale
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (B, T_max), 1)
+        valid = k_pos <= pos[:, None]  # causal per slot
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
+        attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1).astype(h.dtype)
+        h = h + _infer_linear(attn, bp["attn_proj"], bits, kind, cfg, True,
+                              static).astype(h.dtype)
+        h2 = _ln(h, bp["ln2"]["g"], bp["ln2"]["b"], m.layer_norm_epsilon)
+        fc = _infer_linear(h2, bp["c_fc"], bits, kind, cfg, True, static)
+        fc = jax.nn.gelu(fc, approximate=False).astype(h.dtype)
+        h = h + _infer_linear(fc, bp["mlp_proj"], bits, kind, cfg, True,
+                              static).astype(h.dtype)
+
+    h = _ln(h, iparams["ln_f"]["g"], iparams["ln_f"]["b"],
+            m.layer_norm_epsilon)
+    logits = jnp.dot(h[:, 0], iparams["wte"].T,
+                     preferred_element_type=jnp.float32)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # inactive slots keep token 0 (ignored by the host)
+    nxt = jnp.where(active, nxt, 0)
+    return nxt, tuple(new_caches)
+
+
+class ContinuousBatchingEngine:
+    """Greedy continuous-batching decode server (single chip)."""
+
+    def __init__(self, params, cfg: SPModelConfig, bits: int,
+                 n_slots: int = 8, max_len: int = 512,
+                 eos_token_id: Optional[int] = None, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_len = min(max_len, cfg.model.n_positions)
+        self.eos_token_id = eos_token_id
+        self.dtype = dtype
+        self.iparams = quantize_for_inference(params, cfg, bits, dtype)
+        self.static = self.iparams.pop("_static")
+
+        self.caches = init_layer_caches(cfg, n_slots, self.max_len, dtype)
+        self.lengths = np.zeros((n_slots,), np.int32)
+        self.last_token = np.zeros((n_slots,), np.int32)
+        self.slot_req: List[Optional[Request]] = [None] * n_slots
+        self.queue: deque = deque()
+        self.finished: Dict[int, Request] = {}
+        self._ids = itertools.count()
+
+        cfg_ = cfg
+        static = self.static
+
+        self._step = jax.jit(
+            lambda ip, toks, caches, lengths, active: _decode_step(
+                ip, toks, caches, lengths, active, cfg_, static)
+        )
+
+        # per-slot prefill: run the prompt through the model with a B=1
+        # cache, then insert each layer's K/V rows into the slot
+        from ..models.inference import infer_forward_unrolled
+
+        @partial(jax.jit, static_argnames=("pad_len",))
+        def _prefill(ip, ids, pad_len):
+            caches1 = init_layer_caches(cfg_, 1, self.max_len, dtype)
+            logits, caches1, _ = infer_forward_unrolled(
+                ip, ids, cfg_, caches1, jnp.int32(0), static=static)
+            return logits, caches1
+
+        self._prefill = _prefill
+
+    # -- public API --------------------------------------------------------
+    def submit(self, prompt, max_new_tokens: int = 32) -> int:
+        req = Request(next(self._ids), np.asarray(prompt, np.int32),
+                      max_new_tokens)
+        self.queue.append(req)
+        return req.req_id
+
+    def _bucket(self, n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return min(b, self.max_len)
+
+    def _fill_slots(self):
+        for slot in range(self.n_slots):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            T0 = len(req.prompt)
+            pad = self._bucket(T0)
+            ids = np.zeros((1, pad), np.int32)
+            ids[0, :T0] = req.prompt
+            logits, caches1 = self._prefill(self.iparams, jnp.asarray(ids),
+                                            pad)
+            # insert the first T0 cache rows into this slot
+            new = list(self.caches)
+            for i in range(len(new)):
+                new[i] = new[i].at[slot, :, :T0, :].set(caches1[i][0, :, :T0, :])
+            self.caches = tuple(new)
+            self.lengths[slot] = T0
+            self.last_token[slot] = int(jnp.argmax(logits[0, T0 - 1]))
+            self.slot_req[slot] = req
+
+    def step(self) -> int:
+        """Advance every active slot one token; returns #active slots."""
+        self._fill_slots()
+        active_np = np.asarray([r is not None for r in self.slot_req])
+        if not active_np.any():
+            return 0
+        toks = jnp.asarray(self.last_token[:, None])
+        nxt, self.caches = self._step(
+            self.iparams, toks, self.caches, jnp.asarray(self.lengths),
+            jnp.asarray(active_np),
+        )
+        nxt = np.asarray(nxt)
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            tok = int(nxt[slot])
+            req.generated.append(tok)
+            self.lengths[slot] += 1
+            self.last_token[slot] = tok
+            hit_eos = (self.eos_token_id is not None
+                       and tok == self.eos_token_id)
+            out_of_room = self.lengths[slot] + 1 >= self.max_len
+            if (len(req.generated) >= req.max_new_tokens or hit_eos
+                    or out_of_room):
+                req.done = True
+                self.finished[req.req_id] = req
+                self.slot_req[slot] = None
+                self.lengths[slot] = 0
+                self.last_token[slot] = 0
+        return int(active_np.sum())
+
+    def run_until_done(self, max_steps: int = 10_000) -> Dict[int, Request]:
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_req)) \
+                and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.finished

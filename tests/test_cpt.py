@@ -209,3 +209,28 @@ class TestCPTTraining:
         assert mask["blocks"]["c_fc"]["gq_scale_A"] is False
         assert mask["lm_head"]["lora_A"] is True
         assert mask["wte"] is False
+
+
+class TestCPTGenerate:
+    def test_generate_shapes_and_determinism(self, cpt_setup):
+        from llm_qat_tpu.models.cpt_model import cpt_generate
+
+        cfg, params, mgr, batches = cpt_setup
+        prompt = batches[0][:1, :4]
+        out = cpt_generate(params, prompt, prec_index(cfg, 32), cfg,
+                           max_new_tokens=5, do_sample=False)
+        assert out.shape == (1, 9)
+        out2 = cpt_generate(params, prompt, prec_index(cfg, 32), cfg,
+                            max_new_tokens=5, do_sample=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_generate_respects_n_positions(self, cpt_setup):
+        from llm_qat_tpu.models.cpt_model import cpt_generate
+
+        cfg, params, mgr, batches = cpt_setup
+        T = cfg.model.n_positions
+        prompt = batches[0][:1, :8]
+        long_prompt = jnp.tile(prompt, (1, T // 8))
+        out = cpt_generate(params, long_prompt, prec_index(cfg, 32), cfg,
+                           max_new_tokens=10, do_sample=False)
+        assert out.shape[1] <= T

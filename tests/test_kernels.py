@@ -109,3 +109,41 @@ class TestFlashAttention:
                                           interpret=True))
         np.testing.assert_allclose(out1[:, :, :100], out2[:, :, :100],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFlashAttentionTrainable:
+    def test_forward_matches_dense(self):
+        from llm_qat_tpu.ops.attention import flash_attention_trainable
+
+        rng = np.random.default_rng(7)
+        B, H, T, D = 1, 2, 128, 64
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        got = np.asarray(flash_attention_trainable(q, k, v, 64, 64, True))
+        want = np.asarray(causal_attention_reference(q, k, v))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_gradients_match_dense(self):
+        from llm_qat_tpu.ops.attention import flash_attention_trainable
+
+        rng = np.random.default_rng(8)
+        B, H, T, D = 1, 1, 128, 64
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention_trainable(q, k, v, 64, 64, True)
+                           * cot)
+
+        def loss_dense(q, k, v):
+            return jnp.sum(causal_attention_reference(q, k, v) * cot)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gd, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-3,
+                                       err_msg=f"d{name} mismatch")

@@ -126,3 +126,16 @@ class TestRingAttention:
         out2 = np.asarray(ring_attention(q, k2, v2, mesh, "sp"))
         np.testing.assert_allclose(out1[:, :, :28], out2[:, :, :28],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestMultihost:
+    def test_single_process_noop(self):
+        from llm_qat_tpu.parallel import (
+            host_local_batch_slice,
+            initialize_multihost,
+        )
+
+        info = initialize_multihost()  # no coordinator → no-op
+        assert info["process_count"] == 1
+        assert info["process_index"] == 0
+        assert host_local_batch_slice(16) == slice(0, 16)

@@ -1,0 +1,68 @@
+"""Continuous-batching engine tests: per-slot correctness vs the sequential
+engine, slot recycling, queue draining. (The reference has no serving layer —
+SURVEY.md §L8 — so the correctness oracle is our own InferenceEngine.)"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_qat_tpu.models import init_sp_params, tiny_test_config
+from llm_qat_tpu.models.inference import InferenceEngine
+from llm_qat_tpu.serving import ContinuousBatchingEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config((8, 32))
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+class TestContinuousBatching:
+    def test_matches_sequential_engine(self, setup):
+        """Interleaved continuous decoding must produce the same tokens as
+        generating each prompt alone."""
+        cfg, params = setup
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(1, 200, (n,)).astype(np.int32)
+                   for n in (5, 9, 7)]
+
+        eng = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=2,
+                                       max_len=48, dtype=jnp.float32)
+        ids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        finished = eng.run_until_done()
+        assert set(finished) == set(ids)
+
+        ref = InferenceEngine(params, cfg, bits=8, max_batch=1, max_len=48,
+                              dtype=jnp.float32)
+        for rid, prompt in zip(ids, prompts):
+            want = np.asarray(
+                ref.generate(prompt[None], max_new_tokens=6,
+                             do_sample=False))[0, len(prompt):]
+            got = np.asarray(finished[rid].generated)
+            np.testing.assert_array_equal(got, want)
+
+    def test_slot_recycling(self, setup):
+        """More requests than slots: slots must be reused."""
+        cfg, params = setup
+        rng = np.random.default_rng(1)
+        eng = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=1,
+                                       max_len=32, dtype=jnp.float32)
+        ids = [eng.submit(rng.integers(1, 200, (4,)), max_new_tokens=3)
+               for _ in range(3)]
+        finished = eng.run_until_done()
+        assert set(finished) == set(ids)
+        for rid in ids:
+            assert len(finished[rid].generated) == 3
+
+    def test_eos_frees_slot_early(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(2)
+        eng = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=1,
+                                       max_len=32, eos_token_id=None,
+                                       dtype=jnp.float32)
+        rid = eng.submit(rng.integers(1, 200, (4,)), max_new_tokens=20)
+        finished = eng.run_until_done()
+        # without EOS it should stop at max_new_tokens
+        assert len(finished[rid].generated) == 20
