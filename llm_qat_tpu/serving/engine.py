@@ -15,6 +15,13 @@ provides the single-chip version:
 
 Multi-host scale-out composes with `parallel.mesh` (shard the slot axis over
 "data", weights over "model"); this class keeps the single-chip loop simple.
+
+Throughput note: through the axon development tunnel every device dispatch
+costs ~0.3 s of link latency, so the host-driven loop measures ~56 tok/s
+(24 mixed requests) regardless of chunking — compute per chunk is ~ms. On a
+real TPU host the same loop is decode-bound (~7k tok/s at 8 slots, see
+bench.py). `step_chunk` exists precisely to amortize dispatches (k decode
+steps per round trip).
 """
 
 from __future__ import annotations
@@ -138,6 +145,27 @@ class ContinuousBatchingEngine:
                 ip, toks, caches, lengths, active, cfg_, static)
         )
 
+        # chunked decode: k steps on-device per host round trip. Essential
+        # when the host↔device link has latency (measured 25 tok/s with
+        # per-step sync through the axon tunnel vs thousands chunked). A
+        # slot finishing mid-chunk generates discard-tokens; stale K/V past
+        # a finished slot's length is never attended (per-slot masks) and
+        # prefill overwrites on reuse.
+        @partial(jax.jit, static_argnames=("k",), donate_argnums=(2,))
+        def _step_chunk(ip, toks, caches, lengths, active, k):
+            def body(carry, _):
+                toks, caches, lengths = carry
+                nxt, caches = _decode_step(ip, toks, caches, lengths, active,
+                                           cfg_, static)
+                lengths = jnp.where(active, lengths + 1, lengths)
+                return (nxt[:, None], caches, lengths), nxt
+
+            (_, caches, lengths), toks_out = jax.lax.scan(
+                body, (toks, caches, lengths), None, length=k)
+            return toks_out.T, caches  # (B, k)
+
+        self._step_chunk = _step_chunk
+
         # per-slot prefill: run the prompt through the model with a B=1
         # cache, then insert each layer's K/V rows into the slot
         from ..models.inference import infer_forward_unrolled
@@ -150,6 +178,22 @@ class ContinuousBatchingEngine:
             return logits, caches1
 
         self._prefill = _prefill
+
+        # one dispatch inserting ALL layer caches for a slot (the naive
+        # per-array .at[].set loop costs 2*n_layer host round trips per
+        # request — fatal over a high-latency link)
+        @partial(jax.jit, donate_argnums=(0,))
+        def _insert_slot(caches, caches1, slot, t0):
+            t_idx = jnp.arange(self.max_len)[None, :, None]
+            out = []
+            for i in range(len(caches)):
+                row = jnp.where(t_idx < t0, caches1[i][0],
+                                caches[i][slot])[None]
+                out.append(jax.lax.dynamic_update_slice(
+                    caches[i], row, (slot, 0, 0, 0)))
+            return tuple(out)
+
+        self._insert_slot = _insert_slot
 
     # -- public API --------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int = 32) -> int:
@@ -175,11 +219,9 @@ class ContinuousBatchingEngine:
             ids[0, :T0] = req.prompt
             logits, caches1 = self._prefill(self.iparams, jnp.asarray(ids),
                                             pad)
-            # insert the first T0 cache rows into this slot
-            new = list(self.caches)
-            for i in range(len(new)):
-                new[i] = new[i].at[slot, :, :T0, :].set(caches1[i][0, :, :T0, :])
-            self.caches = tuple(new)
+            # insert the first T0 cache rows into this slot (single dispatch)
+            self.caches = self._insert_slot(
+                self.caches, caches1, jnp.int32(slot), jnp.int32(T0))
             self.lengths[slot] = T0
             self.last_token[slot] = int(jnp.argmax(logits[0, T0 - 1]))
             self.slot_req[slot] = req
@@ -215,10 +257,60 @@ class ContinuousBatchingEngine:
                 self.last_token[slot] = 0
         return int(active_np.sum())
 
-    def run_until_done(self, max_steps: int = 10_000) -> Dict[int, Request]:
+    def step_chunk(self, k: int = 16) -> int:
+        """Advance active slots up to k tokens in ONE device dispatch.
+
+        The chunk runs device-side without host sync; slot bookkeeping (EOS,
+        max-tokens, recycling) happens once per chunk. Tokens generated after
+        a slot's stop condition within the chunk are discarded.
+        """
+        self._fill_slots()
+        active_np = np.asarray([r is not None for r in self.slot_req])
+        if not active_np.any():
+            return 0
+        # cap k so no slot overruns its cache
+        max_room = int(self.max_len - 1 - self.lengths[active_np].max())
+        k_eff = max(1, min(k, max_room))
+        toks = jnp.asarray(self.last_token[:, None])
+        toks_out, self.caches = self._step_chunk(
+            self.iparams, toks, self.caches, jnp.asarray(self.lengths),
+            jnp.asarray(active_np), k=k_eff,
+        )
+        toks_out = np.asarray(toks_out)  # (B, k_eff) — the one host sync
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            taken = 0
+            for j in range(k_eff):
+                tok = int(toks_out[slot, j])
+                req.generated.append(tok)
+                taken += 1
+                if ((self.eos_token_id is not None
+                     and tok == self.eos_token_id)
+                        or len(req.generated) >= req.max_new_tokens):
+                    break
+            self.lengths[slot] += taken
+            self.last_token[slot] = int(toks_out[slot, taken - 1])
+            hit_eos = (self.eos_token_id is not None
+                       and req.generated[-1] == self.eos_token_id)
+            out_of_room = self.lengths[slot] + 1 >= self.max_len
+            if (len(req.generated) >= req.max_new_tokens or hit_eos
+                    or out_of_room):
+                req.done = True
+                self.finished[req.req_id] = req
+                self.slot_req[slot] = None
+                self.lengths[slot] = 0
+                self.last_token[slot] = 0
+        return int(active_np.sum())
+
+    def run_until_done(self, max_steps: int = 10_000,
+                       chunk: int = 1) -> Dict[int, Request]:
         steps = 0
         while (self.queue or any(r is not None for r in self.slot_req)) \
                 and steps < max_steps:
-            self.step()
+            if chunk > 1:
+                self.step_chunk(chunk)
+            else:
+                self.step()
             steps += 1
         return self.finished

@@ -66,3 +66,24 @@ class TestContinuousBatching:
         finished = eng.run_until_done()
         # without EOS it should stop at max_new_tokens
         assert len(finished[rid].generated) == 20
+
+    def test_chunked_matches_stepwise(self, setup):
+        """step_chunk(k) must produce identical tokens to per-step decode."""
+        cfg, params = setup
+        rng = np.random.default_rng(3)
+        prompts = [rng.integers(1, 200, (n,)).astype(np.int32)
+                   for n in (5, 9, 7)]
+
+        a = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=2,
+                                     max_len=48, dtype=jnp.float32)
+        ids_a = [a.submit(p, max_new_tokens=7) for p in prompts]
+        fin_a = a.run_until_done(chunk=1)
+
+        b = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=2,
+                                     max_len=48, dtype=jnp.float32)
+        ids_b = [b.submit(p, max_new_tokens=7) for p in prompts]
+        fin_b = b.run_until_done(chunk=4)
+
+        for ra, rb in zip(ids_a, ids_b):
+            np.testing.assert_array_equal(fin_a[ra].generated,
+                                          fin_b[rb].generated)
