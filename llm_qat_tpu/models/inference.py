@@ -204,7 +204,9 @@ def init_layer_caches(cfg: SPModelConfig, batch: int, max_len: int,
 
 def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
                            length, *, quantize_input: bool = True,
-                           static: Optional[StaticMeta] = None):
+                           static: Optional[StaticMeta] = None,
+                           fused_attention: bool = False,
+                           attn_interpret: bool = False):
     """Decode-optimized forward: python-unrolled layers + tuple caches.
 
     Unrolling (vs `lax.scan` over stacked layer weights) removes the
@@ -236,20 +238,31 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
             return t.reshape(B, S, m.n_head, m.head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = heads(qh), heads(kh), heads(vh)
-        kc = jax.lax.dynamic_update_slice(
-            caches[2 * li], kh.astype(caches[0].dtype), (0, 0, start, 0))
-        vc = jax.lax.dynamic_update_slice(
-            caches[2 * li + 1], vh.astype(caches[0].dtype), (0, 0, start, 0))
-        new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+        if fused_attention and S == 1:
+            # fused Pallas kernel: in-place cache row update + attention
+            from ..ops.decode_attention import decode_attention
 
-        scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
-        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kc,
-                            preferred_element_type=jnp.float32) * scale
-        q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 0)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 1)
-        scores = jnp.where((k_pos <= q_pos)[None, None], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
-        attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
+            attn_o, kc, vc = decode_attention(
+                qh, kh, vh, caches[2 * li], caches[2 * li + 1], start,
+                interpret=attn_interpret)
+            new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+            attn = attn_o
+        else:
+            kc = jax.lax.dynamic_update_slice(
+                caches[2 * li], kh.astype(caches[0].dtype), (0, 0, start, 0))
+            vc = jax.lax.dynamic_update_slice(
+                caches[2 * li + 1], vh.astype(caches[0].dtype),
+                (0, 0, start, 0))
+            new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+
+            scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
+            scores = jnp.einsum("bhsd,bhtd->bhst", qh, kc,
+                                preferred_element_type=jnp.float32) * scale
+            q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 0)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 1)
+            scores = jnp.where((k_pos <= q_pos)[None, None], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
+            attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1).astype(h.dtype)
         h = h + _infer_linear(attn, bp["attn_proj"], bits, kind, cfg,
                               quantize_input, static).astype(h.dtype)

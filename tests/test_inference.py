@@ -209,3 +209,34 @@ class TestInt8PackedWeights:
             corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
             assert corr > 0.99, f"{bits}: corr {corr}"
             assert np.abs(a - b).mean() < 0.5
+
+
+class TestFusedDecodeAttention:
+    def test_fused_matches_unfused_decode(self, setup):
+        from llm_qat_tpu.models.inference import (
+            infer_forward_unrolled,
+            init_layer_caches,
+        )
+        import jax.numpy as jnp
+
+        cfg, params, tables, batches = setup
+        iparams = quantize_for_inference(params, cfg, 8, jnp.float32)
+        static = iparams.pop("_static")
+        tok = batches[0][:, :1]
+
+        c1 = init_layer_caches(cfg, tok.shape[0], 8, jnp.float32)
+        # seed some prior context rows
+        c1 = tuple(c.at[:, :, :3, :].set(0.1) for c in c1)
+        c2 = tuple(np.asarray(c).copy() for c in c1)
+        c2 = tuple(jnp.asarray(c) for c in c2)
+
+        a, ca, _ = infer_forward_unrolled(iparams, tok, cfg, c1, jnp.int32(3),
+                                          static=static)
+        b, cb, _ = infer_forward_unrolled(iparams, tok, cfg, c2, jnp.int32(3),
+                                          static=static, fused_attention=True,
+                                          attn_interpret=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+        for x, y in zip(ca, cb):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-4, atol=1e-4)

@@ -147,3 +147,62 @@ class TestFlashAttentionTrainable:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-3,
                                        err_msg=f"d{name} mismatch")
+
+
+class TestDecodeAttention:
+    def _mk(self, B=2, H=3, T=32, D=64, seed=9):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kn = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        vn = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kc = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        vc = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        return q, kn, vn, kc, vc
+
+    def test_matches_reference_scalar_pos(self):
+        from llm_qat_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_reference,
+        )
+
+        q, kn, vn, kc, vc = self._mk()
+        want_o, want_k, want_v = decode_attention_reference(
+            q, kn, vn, kc, vc, 5)
+        got_o, got_k, got_v = decode_attention(
+            q, kn, vn, kc.copy(), vc.copy(), 5, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_per_slot_positions(self):
+        from llm_qat_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_reference,
+        )
+
+        q, kn, vn, kc, vc = self._mk(B=3, T=16)
+        pos = jnp.asarray([2, 7, 15], jnp.int32)
+        want_o, want_k, _ = decode_attention_reference(q, kn, vn, kc, vc, pos)
+        got_o, got_k, _ = decode_attention(q, kn, vn, kc.copy(), vc.copy(),
+                                           pos, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_future_positions_masked(self):
+        from llm_qat_tpu.ops.decode_attention import decode_attention
+
+        q, kn, vn, kc, vc = self._mk(T=16)
+        # poison the future: output at pos=3 must ignore rows > 3
+        kc2 = kc.at[:, :, 8:].set(99.0)
+        vc2 = vc.at[:, :, 8:].set(-99.0)
+        o1, _, _ = decode_attention(q, kn, vn, kc.copy(), vc.copy(), 3,
+                                    interpret=True)
+        o2, _, _ = decode_attention(q, kn, vn, kc2.copy(), vc2.copy(), 3,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-5)
