@@ -16,6 +16,14 @@ caches update in place — callers must treat the passed caches as consumed
 (donated), exactly like the existing decode loop already does.
 
 Supports per-slot positions (continuous batching) via a (B,) position vector.
+
+Measured on v5e (GPT-2 124M decode, batch 8): parity with the XLA unfused
+path (~4.7k vs ~4.9k tok/s in the same contended run) — the masked
+whole-block cache write costs the same HBM traffic as XLA's copy, and the
+96-program grid adds per-program overhead. Kept opt-in
+(`infer_forward_unrolled(fused_attention=True)`); the win requires manual
+HBM-resident caches with row-only DMA (no full-block write-back), which
+needs `pltpu.ANY` refs + async copies — future round.
 """
 
 from __future__ import annotations
@@ -39,13 +47,19 @@ def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
     pos = pos_ref[pl.program_id(0), 0]
     T = kc_out.shape[0]
 
-    # in-place row update (kc_out/vc_out alias kc_ref/vc_ref buffers)
-    kc_out[pl.ds(pos, 1), :] = kn_ref[:].astype(kc_out.dtype)
-    vc_out[pl.ds(pos, 1), :] = vn_ref[:].astype(vc_out.dtype)
+    # row update via masked whole-block select: Mosaic cannot lower a
+    # single-row dynamic store at an arbitrary sublane offset for narrow
+    # dtypes, and the out_specs write the full block back regardless.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    sel = row_ids == pos
+    k_all = jnp.where(sel, kn_ref[:].astype(kc_out.dtype), kc_ref[:])
+    v_all = jnp.where(sel, vn_ref[:].astype(vc_out.dtype), vc_ref[:])
+    kc_out[:] = k_all
+    vc_out[:] = v_all
 
     q = q_ref[:].astype(jnp.float32) * sm_scale  # (1, D)
-    k_all = kc_out[:].astype(jnp.float32)  # (T, D)
-    v_all = vc_out[:].astype(jnp.float32)
+    k_all = k_all.astype(jnp.float32)  # (T, D)
+    v_all = v_all.astype(jnp.float32)
 
     s = jnp.dot(q, k_all.T, preferred_element_type=jnp.float32)  # (1, T)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
