@@ -259,7 +259,7 @@ def switchable_layernorm(x, ln, prec, eps: float):
 
 def sp_block(x, bp, prec, tables, cfg: SPModelConfig, *, mask=None,
              calibration_mode=False, collect_stats=False,
-             input_passthrough=False):
+             input_passthrough=False, attention_fn=None):
     """Pre-LN residual block (reference `models_sp.py:130-171`)."""
     m = cfg.model
     B, T, C = x.shape
@@ -272,7 +272,10 @@ def sp_block(x, bp, prec, tables, cfg: SPModelConfig, *, mask=None,
     def heads(t):
         return t.reshape(B, T, m.n_head, m.head_dim).transpose(0, 2, 1, 3)
 
-    attn = causal_attention(heads(q), heads(k), heads(v), mask=mask)
+    if attention_fn is None:
+        attn = causal_attention(heads(q), heads(k), heads(v), mask=mask)
+    else:
+        attn = attention_fn(heads(q), heads(k), heads(v))
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, C)
     attn_out, s2 = sp_linear(attn, bp["attn_proj"], prec, tables, cfg,
                              calibration_mode, collect_stats, input_passthrough)
@@ -309,6 +312,7 @@ def sp_forward(
     input_passthrough: bool = False,
     output_hidden_states: bool = False,
     remat: bool = False,
+    attention_fn=None,
 ):
     """Full SP LM forward (reference `SPModel.forward` `models_sp.py:300-336` +
     `SPLMHeadModel.forward` `models_sp.py:423-458`).
@@ -355,7 +359,8 @@ def sp_forward(
             out, s = sp_block(x, bp, prec, tables, cfg, mask=mask,
                               calibration_mode=calibration_mode,
                               collect_stats=collect_stats,
-                              input_passthrough=input_passthrough)
+                              input_passthrough=input_passthrough,
+                              attention_fn=attention_fn)
         ys = {}
         if output_hidden_states:
             ys["h_in"] = jax.lax.stop_gradient(x)

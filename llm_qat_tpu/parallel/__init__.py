@@ -12,6 +12,7 @@ from .multihost import (
     initialize_multihost,
     make_global_batch,
 )
+from .cp_forward import sp_forward_context_parallel
 from .ring_attention import ring_attention
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "shard_params",
     "sp_param_specs",
     "ring_attention",
+    "sp_forward_context_parallel",
     "host_local_batch_slice",
     "initialize_multihost",
     "make_global_batch",

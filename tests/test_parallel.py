@@ -139,3 +139,30 @@ class TestMultihost:
         assert info["process_count"] == 1
         assert info["process_index"] == 0
         assert host_local_batch_slice(16) == slice(0, 16)
+
+
+class TestContextParallelForward:
+    def test_cp_forward_matches_single_device(self):
+        """Full SP forward with ring attention over the 8-device mesh must
+        match the unsharded forward."""
+        from jax.sharding import Mesh
+        from llm_qat_tpu.models import (
+            init_sp_params,
+            prec_tables,
+            sp_forward,
+            tiny_test_config,
+        )
+        from llm_qat_tpu.parallel.cp_forward import sp_forward_context_parallel
+
+        cfg = tiny_test_config((8, 32))
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        tables = prec_tables(cfg.quant)
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 200, (2, 64)))
+
+        want = np.asarray(sp_forward(params, ids, 0, cfg, tables=tables)["logits"])
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("sp",))
+        out = sp_forward_context_parallel(params, ids, 0, cfg, mesh, "sp",
+                                          tables=tables)
+        got = np.asarray(out["logits"])
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
