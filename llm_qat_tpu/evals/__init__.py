@@ -12,6 +12,7 @@ from .metrics import (
     parse_config_string,
     validate_bits_supported,
 )
+from .few_shot import FewShotEvaluator, load_mmlu, mmlu_category
 from .perplexity import PerplexityEvaluator, iter_windows
 from .tables import ResultTableGenerator
 from .zero_shot import TASK_FORMATTERS, ZeroShotEvaluator
@@ -57,6 +58,9 @@ __all__ = [
     "model_size_gb",
     "parse_config_string",
     "validate_bits_supported",
+    "FewShotEvaluator",
+    "load_mmlu",
+    "mmlu_category",
     "PerplexityEvaluator",
     "iter_windows",
     "ResultTableGenerator",
