@@ -190,14 +190,25 @@ def _ln(x, g, b, eps):
 
 
 def init_layer_caches(cfg: SPModelConfig, batch: int, max_len: int,
-                      dtype=jnp.bfloat16):
+                      dtype=jnp.bfloat16, kv_bits: int = 16):
     """Per-layer KV caches as a flat tuple (k0, v0, k1, v1, ...).
 
     Separate buffers (instead of one stacked (L, ...) array) let XLA alias
     each donated buffer for true in-place `dynamic_update_slice` during the
     decode scan — the stacked layout forced a full-cache copy per step.
+
+    `kv_bits=8` stores int8 codes + per-row scales (`ops/kv_cache.py`) —
+    the KV axis of the W-A-KV bit configurations, halving cache HBM
+    traffic; any other value keeps dense `dtype` storage.
     """
     m = cfg.model
+    if kv_bits == 8:
+        from ..ops.kv_cache import init_quantized_kv
+
+        return tuple(
+            init_quantized_kv(batch, m.n_head, max_len, m.head_dim)
+            for _ in range(2 * m.n_layer)
+        )
     shape = (batch, m.n_head, max_len, m.head_dim)
     return tuple(jnp.zeros(shape, dtype) for _ in range(2 * m.n_layer))
 
@@ -220,7 +231,8 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
     kind = iparams["_kind"]
     B, S = input_ids.shape
     start = length
-    T_max = caches[0].shape[2]
+    c0 = caches[0]
+    T_max = (c0.codes if hasattr(c0, "codes") else c0).shape[2]
 
     h = iparams["wte"][input_ids] + iparams["wpe"][
         start + jnp.arange(S)][None].astype(iparams["wte"].dtype)
@@ -238,7 +250,18 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
             return t.reshape(B, S, m.n_head, m.head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = heads(qh), heads(kh), heads(vh)
-        if fused_attention and S == 1:
+        from ..ops.kv_cache import QuantizedKV
+
+        if isinstance(caches[2 * li], QuantizedKV):
+            from ..ops.kv_cache import append_rows, attention_with_quantized_kv
+
+            kc = append_rows(caches[2 * li], kh, start)
+            vc = append_rows(caches[2 * li + 1], vh, start)
+            new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+            attn = attention_with_quantized_kv(
+                qh, kc, vc, start, jnp.asarray(S, jnp.int32),
+                m.n_positions)
+        elif fused_attention and S == 1:
             # fused Pallas kernel: in-place cache row update + attention
             from ..ops.decode_attention import decode_attention
 

@@ -240,3 +240,33 @@ class TestFusedDecodeAttention:
         for x, y in zip(ca, cb):
             np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestQuantizedKVDecode:
+    def test_kv8_close_to_dense(self, setup):
+        from llm_qat_tpu.models.inference import (
+            infer_forward_unrolled,
+            init_layer_caches,
+        )
+        import jax.numpy as jnp
+
+        cfg, params, tables, batches = setup
+        iparams = quantize_for_inference(params, cfg, 8, jnp.float32)
+        static = iparams.pop("_static")
+        ids = batches[0][:, :10]
+
+        dense = init_layer_caches(cfg, ids.shape[0], 12, jnp.float32)
+        a, _, _ = infer_forward_unrolled(iparams, ids, cfg, dense,
+                                         jnp.int32(0), static=static)
+        kv8 = init_layer_caches(cfg, ids.shape[0], 12, kv_bits=8)
+        b, kv8b, n = infer_forward_unrolled(iparams, ids, cfg, kv8,
+                                            jnp.int32(0), static=static)
+        assert int(n) == 10
+        a, b = np.asarray(a), np.asarray(b)
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.999, corr
+        # incremental step still works on the quantized cache
+        nxt = jnp.argmax(b[:, -1:], axis=-1)
+        l2, _, _ = infer_forward_unrolled(iparams, nxt, cfg, kv8b,
+                                          jnp.int32(10), static=static)
+        assert np.isfinite(np.asarray(l2)).all()

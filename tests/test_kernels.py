@@ -206,3 +206,60 @@ class TestDecodeAttention:
                                     interpret=True)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestQuantizedKVCache:
+    def test_roundtrip_accuracy(self):
+        from llm_qat_tpu.ops.kv_cache import dequantize, init_quantized_kv, append_rows
+
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.normal(size=(2, 3, 4, 16)), jnp.float32)
+        cache = init_quantized_kv(2, 3, 8, 16)
+        cache = append_rows(cache, x, jnp.int32(0))
+        deq = np.asarray(dequantize(cache))[:, :, :4]
+        # per-row int8: worst-case error = scale/2 = max|row|/254
+        err = np.abs(deq - np.asarray(x))
+        bound = np.abs(np.asarray(x)).max(-1, keepdims=True) / 254 + 1e-6
+        assert (err <= bound).all()
+
+    def test_attention_matches_dequantized_reference(self):
+        from llm_qat_tpu.ops.attention import causal_attention_reference
+        from llm_qat_tpu.ops.kv_cache import (
+            append_rows,
+            attention_with_quantized_kv,
+            dequantize,
+            init_quantized_kv,
+        )
+
+        rng = np.random.default_rng(11)
+        B, H, T, D = 1, 2, 8, 16
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        kc = append_rows(init_quantized_kv(B, H, T, D), k, jnp.int32(0))
+        vc = append_rows(init_quantized_kv(B, H, T, D), v, jnp.int32(0))
+
+        got = np.asarray(attention_with_quantized_kv(
+            q, kc, vc, jnp.int32(0), jnp.int32(T), T))
+        # identical math on the DEQUANTIZED cache
+        want = np.asarray(causal_attention_reference(
+            q, dequantize(kc), dequantize(vc)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # and close to the full-precision attention (int8 KV error only)
+        full = np.asarray(causal_attention_reference(q, k, v))
+        assert np.abs(got - full).max() < 0.05
+
+    def test_incremental_append(self):
+        from llm_qat_tpu.ops.kv_cache import append_rows, dequantize, init_quantized_kv
+
+        rng = np.random.default_rng(12)
+        a = jnp.asarray(rng.normal(size=(1, 1, 3, 8)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(1, 1, 1, 8)), jnp.float32)
+        cache = init_quantized_kv(1, 1, 8, 8)
+        cache = append_rows(cache, a, jnp.int32(0))
+        cache = append_rows(cache, b, jnp.int32(3))
+        deq = np.asarray(dequantize(cache))
+        np.testing.assert_allclose(deq[0, 0, 3], np.asarray(b)[0, 0, 0],
+                                   rtol=0.01, atol=0.02)
+        np.testing.assert_allclose(deq[0, 0, :3], np.asarray(a)[0, 0],
+                                   rtol=0.01, atol=0.02)
