@@ -1,4 +1,4 @@
-"""Decode-throughput benchmark: SP GPT-2 124M, INT8, pre-quantized KV decode.
+"""Decode-throughput benchmark: SP GPT-2 124M, true-INT8 W8A8 decode.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.md: "no tokens/s
@@ -6,11 +6,15 @@ anywhere"; its decode recomputes the full prefix per token,
 `part1_switchable_precision/models_sp.py:460-507`), so vs_baseline is null
 and the recorded tokens/s/chip series is the round-over-round target.
 
-Path under test (`llm_qat_tpu/models/inference.py`): weights fake-quantized
-once (bf16 storage), python-unrolled layers, per-layer donated KV caches,
-decode under one jitted lax.scan. Completion is forced with a host transfer
-(block_until_ready is unreliable through the axon tunnel with donated
-buffers).
+Path under test (`llm_qat_tpu/models/inference.py`, `weight_format=
+"int8_xla"`): int8 weight codes on the calibrated minmax grid (bit-identical
+to the fake-quant weights — see test_inference.py), s8xs8->s32 MXU matmuls
+with the activation quantize fused into the prologue, int8 weight-tied LM
+head, python-unrolled layers, per-layer donated bf16 KV caches, decode under
+one jitted lax.scan. Weight HBM traffic is half of the bf16 path; measured
++23% tok/s over it (docs/RESULTS_R1.md has the progression). Completion is
+forced with a host transfer (block_until_ready is unreliable through the
+axon tunnel with donated buffers).
 """
 
 import functools
@@ -38,12 +42,19 @@ def main():
 
     cfg = SPModelConfig(
         model=GPT2Config(),
-        quant=QuantConfig(bit_widths=(4, 8, 32)),
+        # minmax-8 per-tensor: the reference's own eval/deploy mode
+        # (`part3_eval_sp/main_sp_eval.py:60` forces per-tensor) and the grid
+        # on which int8 codes are exact.
+        quant=QuantConfig(bit_widths=(4, 8, 32),
+                          quantizer_per_bit={8: "minmax"},
+                          per_channel=False),
         compute_dtype="bfloat16",
     )
     params = init_sp_params(jax.random.PRNGKey(0), cfg)
     params = calibrate_weight_quantizers(params, cfg)
-    iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16)
+    iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16,
+                                     weight_format="int8_xla",
+                                     lm_head_int8=True)
     static = iparams.pop("_static")  # static precision → cond-free kernels
 
     rng = np.random.default_rng(0)

@@ -61,9 +61,37 @@ def _static_fake_quant(x, scale, zp, bits: int, kind: int, symmetric: bool,
     return _minmax_fwd_math(x, scale, zp, float(bits), symmetric)
 
 
+def _int8_dot(x, w_i8, w_s, x_s=None):
+    """x (..., K) float @ dequant(w_i8 (K, N), w_s (N,)) via the int8 MXU path.
+
+    Per-tensor symmetric activation quantization onto the int8 grid, fused by
+    XLA into the dot's prologue, s8xs8->s32 `dot_general` on the MXU, scale
+    epilogue. This is the deployment numerics of the reference's true-INT8
+    export (`part1_switchable_precision/deploy.py:31-34`: per-tensor symmetric
+    weight codes; the reference never defines an int8 *runtime*, so the
+    activation side follows standard W8A8 quantization). Weight HBM traffic
+    halves vs bf16 and the MXU runs at its int8 rate.
+
+    `x_s`: static calibrated scalar scale (minmax-8 grid == int8 grid, so
+    a per-tensor-calibrated model quantizes activations *identically* to the
+    training-path fake-quant). None → dynamic max|x|/127 per call.
+    """
+    xf = x.astype(jnp.float32)
+    if x_s is None:
+        red = tuple(range(xf.ndim - 2, xf.ndim))  # per-tensor over (S?, K)
+        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=red, keepdims=True), 1e-8)
+        x_s = amax / 127.0
+    qx = jnp.clip(jnp.round(xf / x_s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qx, w_i8, (((qx.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (x_s * w_s)  # x_s () or (..., 1, 1)
+
+
 def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
                            dtype=jnp.bfloat16,
-                           weight_format: str = "dense") -> Dict[str, Any]:
+                           weight_format: str = "dense",
+                           lm_head_int8: bool = False) -> Dict[str, Any]:
     """Materialize a single-precision inference param tree.
 
     Per linear: `w_q` = fake-quant(W) at `bits` (already includes the scale
@@ -91,16 +119,40 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
             "iq_scale": lin["iq_scale"][:, p_idx],
             "iq_zp": lin["iq_zp"][:, p_idx],
         }
-        if weight_format == "int8":
+        if weight_format in ("int8", "int8_xla"):
             # int8 codes + per-out-channel scale; EXACT for minmax-kind
             # precisions (fake-quanted values sit on the int grid), a second
             # 8-bit re-quantization for log-kind (adds ~scale/2 error). Halves
-            # weight HBM traffic vs bf16 for the Pallas fused dequant-matmul.
+            # weight HBM traffic vs bf16. "int8" runs the Pallas fused
+            # dequant-matmul; "int8_xla" runs the s8xs8->s32 MXU dot with
+            # dynamic activation quant (`_int8_dot`) — one fused XLA op chain,
+            # no per-call kernel dispatch.
             from ..ops.quant_matmul import pack_int8
 
-            codes, scales = jax.vmap(lambda wl: pack_int8(wl, True))(wq)
-            out["w_int8"] = codes  # (L, in, out) int8
+            is_exact = (q.symmetric and q.kind_name(bits) == "minmax"
+                        and bits <= 8)
+            if weight_format == "int8_xla" and is_exact:
+                # Minmax-symmetric ≤8-bit weights already sit on an integer
+                # grid with the calibrated scale: round(wq/s) recovers the
+                # exact codes (W4 slot codes live in ±7), so the int8 tree is
+                # bit-identical to the fake-quant weights — no re-gridding.
+                ws = lin["wq_scale"][:, p_idx]  # (L, out) or (L,)
+                wsb = ws[:, None, :] if ws.ndim == 2 else ws[:, None, None]
+                codes = jnp.round(wq / jnp.maximum(wsb, 1e-12)).astype(jnp.int8)
+                scales = ws
+            else:
+                codes, scales = jax.vmap(lambda wl: pack_int8(wl, True))(wq)
+            key = "w_i8" if weight_format == "int8_xla" else "w_int8"
+            out[key] = codes  # (L, in, out) int8
             out["w_s"] = scales  # (L, out) f32
+            if (weight_format == "int8_xla" and q.symmetric
+                    and q.kind_name(bits) == "minmax"):
+                # Calibrated static activation scale: minmax-symmetric-8
+                # fake-quant (clip(round(x/s), ±127)·s) IS the int8 grid, so
+                # the activation side of `_int8_dot` reproduces the dense
+                # path's calibrated quantization exactly (per-tensor mode).
+                iq = lin["iq_scale"][:, p_idx]
+                out["x_s"] = iq if iq.ndim == 1 else jnp.max(iq, axis=-1)
         else:
             out["w_q"] = wq.astype(dtype)
         if q.max_rank > 0 and scaling > 0.0:
@@ -142,6 +194,18 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
         "_bits": jnp.float32(bits),
         "_kind": tables.kind[p_idx],
     }
+    if lm_head_int8:
+        # Per-vocab-row int8 codes for the weight-tied projection. The SP
+        # model's lm_head is NOT a quantized layer in the reference
+        # (`models_sp.py:398` plain weight tying), so this is a deployment
+        # option beyond the reference's INT8 export; scales factor out of the
+        # contraction exactly like the per-out-channel linear scales.
+        wte = params["wte"].astype(jnp.float32)  # (V, d)
+        amax = jnp.maximum(jnp.max(jnp.abs(wte), axis=1), 1e-8)  # (V,)
+        out["head_s"] = amax / 127.0
+        out["head_i8"] = jnp.clip(
+            jnp.round(wte / out["head_s"][:, None]), -127, 127
+        ).astype(jnp.int8)
     out["_static"] = StaticMeta(
         bits=int(bits),
         kind=int(np.asarray(tables.kind[p_idx])),
@@ -152,6 +216,17 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
 def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool,
                   static: "StaticMeta" = None):
     q = cfg.quant
+    if "w_i8" in lin:
+        # int8_xla format: activation quant is the int8 quant fused inside
+        # _int8_dot (calibrated static scale when available, else dynamic) —
+        # the separate fake-quant would double-quantize.
+        out = _int8_dot(x, lin["w_i8"], lin["w_s"],
+                        x_s=lin.get("x_s")) + lin["b"]
+        if "lora_AB" in lin:
+            out = out + jnp.dot(x.astype(lin["lora_AB"].dtype),
+                                lin["lora_AB"],
+                                preferred_element_type=jnp.float32)
+        return out
     if quantize_input:
         if static is not None:
             xq = _static_fake_quant(x, lin["iq_scale"], lin["iq_zp"],
@@ -299,7 +374,19 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
 
     h = _ln(h, iparams["ln_f"]["g"], iparams["ln_f"]["b"],
             m.layer_norm_epsilon)
-    logits = jnp.dot(h, iparams["wte"].T, preferred_element_type=jnp.float32)
+    if "head_i8" in iparams:
+        hf = h.astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(hf), axis=(1, 2), keepdims=True),
+                           1e-8)
+        xs = amax / 127.0
+        qh = jnp.clip(jnp.round(hf / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(  # contract d against head_i8 (V, d) dim 1
+            qh, iparams["head_i8"], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc.astype(jnp.float32) * (xs[..., :1] * iparams["head_s"])
+    else:
+        logits = jnp.dot(h, iparams["wte"].T,
+                         preferred_element_type=jnp.float32)
     return logits, tuple(new_caches), start + S
 
 
@@ -378,7 +465,8 @@ class InferenceEngine:
 
     def __init__(self, params, cfg: SPModelConfig, bits: int,
                  max_batch: int = 8, max_len: int = 1024,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, weight_format: str = "dense",
+                 lm_head_int8: bool = False):
         from functools import partial
 
         self.cfg = cfg
@@ -386,7 +474,9 @@ class InferenceEngine:
         self.max_batch = max_batch
         self.max_len = min(max_len, cfg.model.n_positions)
         self.dtype = dtype
-        self.iparams = quantize_for_inference(params, cfg, bits, dtype)
+        self.iparams = quantize_for_inference(
+            params, cfg, bits, dtype, weight_format=weight_format,
+            lm_head_int8=lm_head_int8)
         # static precision meta closed over by the jitted fns (cond-free path)
         static = self.iparams.pop("_static")
         self.static = static

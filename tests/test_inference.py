@@ -211,6 +211,120 @@ class TestInt8PackedWeights:
             assert np.abs(a - b).mean() < 0.5
 
 
+class TestInt8XLAPath:
+    """True-INT8 W8A8 serving path (`weight_format="int8_xla"`): s8xs8->s32
+    MXU dot with the activation quantize fused into the prologue. Reference
+    semantics: per-tensor symmetric int8 export
+    (`part1_switchable_precision/deploy.py:31-34`)."""
+
+    def test_int8_dot_matches_explicit_dequant(self):
+        from llm_qat_tpu.models.inference import _int8_dot
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+        ws = jnp.max(jnp.abs(w), axis=0) / 127.0
+        wi = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+        got = np.asarray(_int8_dot(x, wi, ws))
+        xa = np.max(np.abs(np.asarray(x)), axis=(1, 2), keepdims=True)
+        xs = xa / 127.0
+        qx = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+        ref = (qx * xs) @ (np.asarray(wi, np.float32) * np.asarray(ws))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_bit_exact_at_per_tensor_minmax8(self):
+        """On the per-tensor minmax grid (the mode the reference forces at
+        eval, `main_sp_eval.py:60`) the int8 tree is bit-identical to the
+        fake-quant weights AND the calibrated activation scale reproduces the
+        fake-quant activation grid — logits must match exactly (f32)."""
+        from llm_qat_tpu.models import (GPT2Config, QuantConfig,
+                                        SPModelConfig)
+        from llm_qat_tpu.models.inference import (infer_forward_unrolled,
+                                                  init_layer_caches)
+
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=256, n_positions=64, n_embd=32,
+                             n_layer=2, n_head=2),
+            quant=QuantConfig(bit_widths=(4, 8, 32),
+                              quantizer_per_bit={8: "minmax"},
+                              per_channel=False,
+                              lora_rank_per_bit={b: 4 for b in range(2, 17)}
+                              | {32: 0},
+                              lora_alpha_per_bit={b: 8 for b in range(2, 17)}
+                              | {32: 0}),
+        )
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        batches = [jnp.asarray(rng.integers(0, 256, (2, 16)))
+                   for _ in range(2)]
+        params = CalibrationManager(cfg, 2).calibrate_all_precisions(
+            params, batches)
+        ids = batches[0][:, :8]
+        outs = {}
+        for fmt in ("dense", "int8_xla"):
+            ip = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                        weight_format=fmt)
+            st = ip.pop("_static")
+            caches = init_layer_caches(cfg, 2, 8, jnp.float32)
+            logits, _, _ = infer_forward_unrolled(ip, ids, cfg, caches,
+                                                  jnp.int32(0), static=st)
+            outs[fmt] = np.asarray(logits)
+        np.testing.assert_allclose(outs["int8_xla"], outs["dense"],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_log_kind_falls_back_to_dynamic(self, setup):
+        """Log-kind 8-bit config: no static scale is stored (the calibrated
+        log params aren't a linear grid) and the dynamic-quant path stays
+        well-correlated with the dense path."""
+        from llm_qat_tpu.models.inference import (infer_forward_unrolled,
+                                                  init_layer_caches)
+
+        cfg, params, tables, batches = setup
+        ids = batches[0][:, :8]
+        ip = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                    weight_format="int8_xla")
+        st = ip.pop("_static")
+        assert "x_s" not in ip["blocks"]["c_fc"]  # log kind → dynamic
+        assert ip["blocks"]["c_fc"]["w_i8"].dtype == jnp.int8
+        caches = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+        b, _, _ = infer_forward_unrolled(ip, ids, cfg, caches, jnp.int32(0),
+                                         static=st)
+        dense = quantize_for_inference(params, cfg, 8, jnp.float32)
+        sd = dense.pop("_static")
+        caches = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+        a, _, _ = infer_forward_unrolled(dense, ids, cfg, caches,
+                                         jnp.int32(0), static=sd)
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.95
+
+    def test_int8_lm_head(self, setup):
+        """int8 weight-tied head: per-vocab-row scales factor out exactly;
+        logits stay tightly correlated with the dense head."""
+        from llm_qat_tpu.models.inference import (infer_forward_unrolled,
+                                                  init_layer_caches)
+
+        cfg, params, tables, batches = setup
+        ids = batches[0][:, :8]
+        ip = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                    weight_format="int8_xla",
+                                    lm_head_int8=True)
+        st = ip.pop("_static")
+        assert ip["head_i8"].dtype == jnp.int8
+        assert ip["head_i8"].shape == (cfg.model.vocab_size, cfg.model.n_embd)
+        caches = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+        b, _, _ = infer_forward_unrolled(ip, ids, cfg, caches, jnp.int32(0),
+                                         static=st)
+        ip2 = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                     weight_format="int8_xla")
+        st2 = ip2.pop("_static")
+        caches = init_layer_caches(cfg, ids.shape[0], 8, jnp.float32)
+        a, _, _ = infer_forward_unrolled(ip2, ids, cfg, caches, jnp.int32(0),
+                                         static=st2)
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+        assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.9
+
+
 class TestFusedDecodeAttention:
     def test_fused_matches_unfused_decode(self, setup):
         from llm_qat_tpu.models.inference import (
