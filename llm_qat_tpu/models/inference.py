@@ -91,7 +91,8 @@ def _int8_dot(x, w_i8, w_s, x_s=None):
 def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
                            dtype=jnp.bfloat16,
                            weight_format: str = "dense",
-                           lm_head_int8: bool = False) -> Dict[str, Any]:
+                           lm_head_int8: bool = False,
+                           lora_format: str = "factored") -> Dict[str, Any]:
     """Materialize a single-precision inference param tree.
 
     Per linear: `w_q` = fake-quant(W) at `bits` (already includes the scale
@@ -167,8 +168,17 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
                                         q.eps))(B)
             Aq = fake_quant(A, a_s, a_z, bits_t, kind_t, q.symmetric, q.eps)
             Bq = fake_quant(B, b_s, b_z, bits_t, kind_t, q.symmetric, q.eps)
-            out["lora_AB"] = (scaling * jnp.einsum(
-                "lir,lro->lio", Aq, Bq)).astype(dtype)
+            if lora_format == "factored":
+                # Rank factors, scaling folded into B: x @ Aq @ (scaling·Bq)
+                # is the reference LoRA math (`lora.py:45-54`) at ~r/in the
+                # HBM traffic of the folded (in, out) matrix — decode is
+                # weight-bandwidth-bound, so this wins despite one extra
+                # (tiny) matmul per linear.
+                out["lora_A"] = Aq.astype(dtype)
+                out["lora_B"] = (scaling * Bq).astype(dtype)
+            else:
+                out["lora_AB"] = (scaling * jnp.einsum(
+                    "lir,lro->lio", Aq, Bq)).astype(dtype)
         return out
 
     def conv_ln(ln, stacked=True):
@@ -213,6 +223,20 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
     return out
 
 
+def _lora_branch(x, lin):
+    """LoRA epilogue on the *raw* input (reference `lora.py:141-150`):
+    factored x@Aq@(scaling·Bq), or the pre-folded (in, out) matrix."""
+    if "lora_A" in lin:
+        xa = jnp.dot(x.astype(lin["lora_A"].dtype), lin["lora_A"],
+                     preferred_element_type=jnp.float32)
+        return jnp.dot(xa.astype(lin["lora_B"].dtype), lin["lora_B"],
+                       preferred_element_type=jnp.float32)
+    if "lora_AB" in lin:
+        return jnp.dot(x.astype(lin["lora_AB"].dtype), lin["lora_AB"],
+                       preferred_element_type=jnp.float32)
+    return jnp.float32(0.0)
+
+
 def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool,
                   static: "StaticMeta" = None):
     q = cfg.quant
@@ -222,11 +246,7 @@ def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool,
         # the separate fake-quant would double-quantize.
         out = _int8_dot(x, lin["w_i8"], lin["w_s"],
                         x_s=lin.get("x_s")) + lin["b"]
-        if "lora_AB" in lin:
-            out = out + jnp.dot(x.astype(lin["lora_AB"].dtype),
-                                lin["lora_AB"],
-                                preferred_element_type=jnp.float32)
-        return out
+        return out + _lora_branch(x, lin)
     if quantize_input:
         if static is not None:
             xq = _static_fake_quant(x, lin["iq_scale"], lin["iq_zp"],
@@ -251,10 +271,7 @@ def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool,
         cdt = lin["w_q"].dtype
         out = jnp.dot(xq.astype(cdt), lin["w_q"],
                       preferred_element_type=jnp.float32) + lin["b"]
-    if "lora_AB" in lin:
-        out = out + jnp.dot(x.astype(lin["lora_AB"].dtype), lin["lora_AB"],
-                            preferred_element_type=jnp.float32)
-    return out
+    return out + _lora_branch(x, lin)
 
 
 def _ln(x, g, b, eps):

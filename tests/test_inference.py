@@ -297,6 +297,56 @@ class TestInt8XLAPath:
         a, b = np.asarray(a), np.asarray(b)
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.95
 
+    def test_factored_lora_matches_folded(self):
+        """Rank-factored LoRA (x@Aq@(scaling·Bq), the reference's own
+        two-matmul evaluation `lora.py:45-54`) == pre-folded (in, out)
+        matrix, with non-zero B (init B is zero, which would vacuously
+        pass)."""
+        from llm_qat_tpu.models import (GPT2Config, QuantConfig,
+                                        SPModelConfig)
+        from llm_qat_tpu.models.inference import (infer_forward_unrolled,
+                                                  init_layer_caches)
+
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=256, n_positions=64, n_embd=32,
+                             n_layer=2, n_head=2),
+            quant=QuantConfig(bit_widths=(4, 8, 32),
+                              quantizer_per_bit={8: "minmax"},
+                              per_channel=False,
+                              lora_rank_per_bit={b: 4 for b in range(2, 17)}
+                              | {32: 0},
+                              lora_alpha_per_bit={b: 8 for b in range(2, 17)}
+                              | {32: 0}),
+        )
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(7)
+        for blk in ("c_attn", "attn_proj", "c_fc", "mlp_proj"):
+            lin = params["blocks"][blk]
+            lin["lora_B"] = 0.05 * jax.random.normal(
+                key, lin["lora_B"].shape, lin["lora_B"].dtype)
+        rng = np.random.default_rng(0)
+        batches = [jnp.asarray(rng.integers(0, 256, (2, 16)))
+                   for _ in range(2)]
+        params = CalibrationManager(cfg, 2).calibrate_all_precisions(
+            params, batches)
+        ids = batches[0][:, :8]
+        outs = {}
+        for fmt in ("folded", "factored"):
+            ip = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                        weight_format="int8_xla",
+                                        lora_format=fmt)
+            st = ip.pop("_static")
+            if fmt == "factored":
+                assert "lora_A" in ip["blocks"]["c_fc"]
+            else:
+                assert "lora_AB" in ip["blocks"]["c_fc"]
+            caches = init_layer_caches(cfg, 2, 8, jnp.float32)
+            logits, _, _ = infer_forward_unrolled(ip, ids, cfg, caches,
+                                                  jnp.int32(0), static=st)
+            outs[fmt] = np.asarray(logits)
+        np.testing.assert_allclose(outs["factored"], outs["folded"],
+                                   rtol=1e-4, atol=1e-5)
+
     def test_int8_lm_head(self, setup):
         """int8 weight-tied head: per-vocab-row scales factor out exactly;
         logits stay tightly correlated with the dense head."""
