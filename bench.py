@@ -38,7 +38,9 @@ def main():
 
     B = 8
     PROMPT = 64
-    NEW = 128
+    NEW = 512  # long generation: the axon tunnel costs a fixed ~31 ms per
+    # dispatch (measured; see docs/RESULTS_R1.md), so short decodes
+    # under-report the chip. 512 new tokens amortizes it to <6%.
 
     cfg = SPModelConfig(
         model=GPT2Config(),
@@ -78,7 +80,11 @@ def main():
         (_, caches), toks = jax.lax.scan(body, (tok0, caches), jnp.arange(NEW))
         return toks, caches
 
-    caches = init_layer_caches(cfg, B, T_max)
+    # packed (B, H, T/2, 2·head_dim) caches + the length-aware HBM decode-
+    # attention kernel: unpadded bf16 rows (head_dim 64 is tile-padded to
+    # 128 lanes otherwise) and per-step cache traffic ~ live prefix instead
+    # of XLA's ~3x T_max (docs/RESULTS_R1.md).
+    caches = init_layer_caches(cfg, B, T_max, kv_layout="packed")
     logits, caches, _ = prefill(iparams, prompt, caches)
     tok0 = jnp.argmax(logits[:, -1:], axis=-1)
 

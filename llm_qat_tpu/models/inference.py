@@ -282,7 +282,8 @@ def _ln(x, g, b, eps):
 
 
 def init_layer_caches(cfg: SPModelConfig, batch: int, max_len: int,
-                      dtype=jnp.bfloat16, kv_bits: int = 16):
+                      dtype=jnp.bfloat16, kv_bits: int = 16,
+                      kv_layout: str = "dense"):
     """Per-layer KV caches as a flat tuple (k0, v0, k1, v1, ...).
 
     Separate buffers (instead of one stacked (L, ...) array) let XLA alias
@@ -292,8 +293,18 @@ def init_layer_caches(cfg: SPModelConfig, batch: int, max_len: int,
     `kv_bits=8` stores int8 codes + per-row scales (`ops/kv_cache.py`) —
     the KV axis of the W-A-KV bit configurations, halving cache HBM
     traffic; any other value keeps dense `dtype` storage.
+
+    `kv_layout="packed"` allocates (B, H, T/2, 2·head_dim) rows (two
+    timesteps per 128-lane row — head_dim 64 is otherwise tile-padded to
+    128 lanes in HBM, doubling capacity and traffic) and routes decode
+    through the length-aware `decode_attention_hbm` Pallas kernel.
+    max_len is rounded up to a multiple of 128.
     """
     m = cfg.model
+    if kv_layout == "packed":
+        max_len = ((max_len + 127) // 128) * 128
+        shape = (batch, m.n_head, max_len // 2, 2 * m.head_dim)
+        return tuple(jnp.zeros(shape, dtype) for _ in range(2 * m.n_layer))
     if kv_bits == 8:
         from ..ops.kv_cache import init_quantized_kv
 
@@ -324,7 +335,12 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
     B, S = input_ids.shape
     start = length
     c0 = caches[0]
-    T_max = (c0.codes if hasattr(c0, "codes") else c0).shape[2]
+    packed_kv = (not hasattr(c0, "codes")
+                 and c0.shape[-1] == 2 * m.head_dim)
+    if packed_kv:
+        T_max = 2 * c0.shape[2]
+    else:
+        T_max = (c0.codes if hasattr(c0, "codes") else c0).shape[2]
 
     h = iparams["wte"][input_ids] + iparams["wpe"][
         start + jnp.arange(S)][None].astype(iparams["wte"].dtype)
@@ -353,6 +369,38 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
             attn = attention_with_quantized_kv(
                 qh, kc, vc, start, jnp.asarray(S, jnp.int32),
                 m.n_positions)
+        elif packed_kv and S == 1:
+            # HBM-resident packed caches: 8-sublane RMW append + length-aware
+            # block streaming (traffic ~ live prefix, not T_max)
+            from ..ops.decode_attention import decode_attention_hbm
+
+            attn_o, kc, vc = decode_attention_hbm(
+                qh, kh, vh, caches[2 * li], caches[2 * li + 1], start,
+                interpret=attn_interpret)
+            new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+            attn = attn_o
+        elif packed_kv:
+            # prefill into packed caches: pack pairs of timesteps, attend on
+            # the unpacked view (a contiguous-dim reshape). Requires even
+            # `start` and S (prompt lengths are padded by callers).
+            from ..ops.decode_attention import pack_kv, unpack_kv
+
+            kc = jax.lax.dynamic_update_slice(
+                caches[2 * li], pack_kv(kh.astype(c0.dtype)),
+                (0, 0, start // 2, 0))
+            vc = jax.lax.dynamic_update_slice(
+                caches[2 * li + 1], pack_kv(vh.astype(c0.dtype)),
+                (0, 0, start // 2, 0))
+            new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+            k_all, v_all = unpack_kv(kc), unpack_kv(vc)
+            scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
+            scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all,
+                                preferred_element_type=jnp.float32) * scale
+            q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 0)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 1)
+            scores = jnp.where((k_pos <= q_pos)[None, None], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+            attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
         elif fused_attention and S == 1:
             # fused Pallas kernel: in-place cache row update + attention
             from ..ops.decode_attention import decode_attention

@@ -122,6 +122,187 @@ def decode_attention(q, k_new, v_new, k_cache, v_cache, pos, *,
             vc.reshape(B, H, T, D))
 
 
+def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
+                o_ref, kc, vc, kbuf, vbuf, rmwk, rmwv, sem, rsem,
+                *, sm_scale, tbp, D):
+    """Single program, whole batch, PACKED caches: (BH, T/2, 2D) — two
+    timesteps share one 128-lane row, so the bf16 HBM layout is unpadded
+    (Mosaic tile-pads a 64-lane minor dim to 128, silently doubling cache
+    capacity AND traffic in the standard (…, T, 64) layout). Caches stay
+    HBM-resident (`pltpu.ANY`): the new row is appended by a
+    read-modify-write of its aligned 8-sublane group (~0.2 MB), then
+    attention streams the live prefix through VMEM in `tbp`-paired-row
+    blocks with double buffering, looping only to the block containing
+    `pos` — traffic is ~1x the LIVE prefix instead of XLA's ~3x full-T_max
+    (dynamic_update_slice copy read+write + attend read). Online softmax
+    accumulates across blocks; even/odd timesteps live in lane halves."""
+    del kc_in, vc_in  # aliased to kc/vc outputs
+    pos = pos_ref[0]
+    BH = q_ref.shape[0]
+    pp = pos // 2  # paired-row index of the new position
+    half = pos % 2
+
+    # 1. append new K/V rows: RMW the aligned (BH, 8, 2D) sublane group
+    grp8 = pl.multiple_of((pp // 8) * 8, 8)
+    sub = pp % 8
+    rk = pltpu.make_async_copy(kc.at[:, pl.ds(grp8, 8)], rmwk, rsem.at[0])
+    rv = pltpu.make_async_copy(vc.at[:, pl.ds(grp8, 8)], rmwv, rsem.at[1])
+    rk.start()
+    rv.start()
+    rk.wait()
+    rv.wait()
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 2 * D), 1)
+    lane_half = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 2 * D), 2) // D
+    sel = (sub_ids == sub) & (lane_half == half)
+    kn2 = jnp.concatenate([kn_ref[:], kn_ref[:]], axis=-1)  # (BH, 1, 2D)
+    vn2 = jnp.concatenate([vn_ref[:], vn_ref[:]], axis=-1)
+    rmwk[:] = jnp.where(sel, kn2, rmwk[:])
+    rmwv[:] = jnp.where(sel, vn2, rmwv[:])
+    wk = pltpu.make_async_copy(rmwk, kc.at[:, pl.ds(grp8, 8)], rsem.at[0])
+    wv = pltpu.make_async_copy(rmwv, vc.at[:, pl.ds(grp8, 8)], rsem.at[1])
+    wk.start()
+    wv.start()
+    wk.wait()
+    wv.wait()
+
+    nblk = pp // tbp + 1  # tbp-paired-row blocks covering rows [0, pos]
+
+    def get_dma(slot, j):
+        off = pl.multiple_of(j * tbp, tbp)
+        return (
+            pltpu.make_async_copy(kc.at[:, pl.ds(off, tbp)],
+                                  kbuf.at[slot], sem.at[0, slot]),
+            pltpu.make_async_copy(vc.at[:, pl.ds(off, tbp)],
+                                  vbuf.at[slot], sem.at[1, slot]),
+        )
+
+    k0, v0 = get_dma(0, 0)
+    k0.start()
+    v0.start()
+
+    q = q_ref[:].astype(jnp.float32) * sm_scale  # (BH, 1, D)
+    q2 = jnp.concatenate([q, q], axis=-1)  # (BH, 1, 2D)
+    lane_lo = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * D), 2) < D)
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = j % 2
+
+        @pl.when(j + 1 < nblk)
+        def _():
+            kn_, vn_ = get_dma((j + 1) % 2, j + 1)
+            kn_.start()
+            vn_.start()
+
+        kj, vj = get_dma(slot, j)
+        kj.wait()
+        vj.wait()
+        kb = kbuf[slot].astype(jnp.float32)  # (BH, tbp, 2D)
+        prod = q2 * kb
+        s_e = jnp.sum(jnp.where(lane_lo, prod, 0.0), axis=-1)  # (BH, tbp)
+        s_o = jnp.sum(prod, axis=-1) - s_e
+        u = jax.lax.broadcasted_iota(jnp.int32, (BH, tbp), 1) + j * tbp
+        s_e = jnp.where(2 * u <= pos, s_e, NEG_INF)
+        s_o = jnp.where(2 * u + 1 <= pos, s_o, NEG_INF)
+        blk_max = jnp.maximum(jnp.max(s_e, axis=-1, keepdims=True),
+                              jnp.max(s_o, axis=-1, keepdims=True))
+        m_new = jnp.maximum(m, blk_max)
+        p_e = jnp.exp(s_e - m_new)  # (BH, tbp)
+        p_o = jnp.exp(s_o - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + (jnp.sum(p_e, axis=-1, keepdims=True)
+                            + jnp.sum(p_o, axis=-1, keepdims=True))
+        vb = vbuf[slot].astype(jnp.float32)  # (BH, tbp, 2D)
+        w = jnp.where(lane_lo, p_e[..., None], p_o[..., None])
+        acc_new = acc * corr + jnp.sum(w * vb, axis=1)  # (BH, 2D)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((BH, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BH, 1), jnp.float32)
+    a0 = jnp.zeros((BH, 2 * D), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+    out = (acc[:, :D] + acc[:, D:]) / jnp.maximum(l, 1e-30)
+    o_ref[:] = out[:, None, :].astype(o_ref.dtype)
+
+
+def pack_kv(x):
+    """(B, H, S, D) -> packed (B, H, S/2, 2D): timesteps 2u / 2u+1 share one
+    row in lane halves. Contiguous-dim merge — a bitcast-level reshape."""
+    B, H, S, D = x.shape
+    assert S % 2 == 0
+    return x.reshape(B, H, S // 2, 2 * D)
+
+
+def unpack_kv(x):
+    """Packed (B, H, Tp, 2D) -> (B, H, 2*Tp, D)."""
+    B, H, Tp, D2 = x.shape
+    return x.reshape(B, H, 2 * Tp, D2 // 2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tbp", "interpret"),
+                   donate_argnums=(3, 4))
+def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
+                         tbp: int = 64, interpret: bool = False):
+    """Length-aware fused decode attention with HBM-resident PACKED caches.
+
+    q/k_new/v_new: (B, H, 1, D); k_cache/v_cache PACKED (B, H, T/2, 2D)
+    (see `pack_kv`) and DONATED; (T/2) % tbp == 0; `pos` a SCALAR int32
+    (uniform position — the per-slot variant is `decode_attention`). The
+    packed layout keeps bf16 rows at full 128 lanes (Mosaic tile-pads a
+    64-lane minor dim, doubling capacity + traffic), and cache HBM traffic
+    per call is one 8-sublane RMW + ~(pos+1) live rows read, independent of
+    T_max. Returns (out (B, H, 1, D) f32, k_cache, v_cache packed).
+    """
+    B, H, _, D = q.shape
+    Tp = k_cache.shape[2]
+    assert k_cache.shape[3] == 2 * D
+    assert Tp % tbp == 0, f"T/2={Tp} must be a multiple of tbp={tbp}"
+    assert tbp % 8 == 0
+    sm_scale = 1.0 / math.sqrt(D)
+    BH = B * H
+
+    cdt = k_cache.dtype
+    pos1 = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    out, kc, vc = pl.pallas_call(
+        functools.partial(_hbm_kernel, sm_scale=sm_scale, tbp=tbp, D=D),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, 2 * D), cdt),
+            jax.ShapeDtypeStruct((BH, Tp, 2 * D), cdt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BH, tbp, 2 * D), cdt),
+            pltpu.VMEM((2, BH, tbp, 2 * D), cdt),
+            pltpu.VMEM((BH, 8, 2 * D), cdt),
+            pltpu.VMEM((BH, 8, 2 * D), cdt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={4: 1, 5: 2},
+        interpret=interpret,
+    )(pos1, q.reshape(BH, 1, D), k_new.astype(cdt).reshape(BH, 1, D),
+      v_new.astype(cdt).reshape(BH, 1, D),
+      k_cache.reshape(BH, Tp, 2 * D), v_cache.reshape(BH, Tp, 2 * D))
+
+    return (out.reshape(B, H, 1, D), kc.reshape(B, H, Tp, 2 * D),
+            vc.reshape(B, H, Tp, 2 * D))
+
+
 def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, pos):
     """jnp reference (the existing decode path's math) for testing."""
     B, H, _, D = q.shape

@@ -263,3 +263,120 @@ class TestQuantizedKVCache:
                                    rtol=0.01, atol=0.02)
         np.testing.assert_allclose(deq[0, 0, :3], np.asarray(a)[0, 0],
                                    rtol=0.01, atol=0.02)
+
+
+class TestDecodeAttentionHBM:
+    """Length-aware HBM-resident packed-cache decode attention
+    (`decode_attention_hbm`): two timesteps per 128-lane row, 8-sublane RMW
+    append, double-buffered block streaming to the live prefix."""
+
+    def _mk(self, B=2, H=3, T=256, D=64, seed=9):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kn = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        vn = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+        kc = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        vc = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        return q, kn, vn, kc, vc
+
+    def test_pack_unpack_roundtrip(self):
+        from llm_qat_tpu.ops.decode_attention import pack_kv, unpack_kv
+
+        x = jnp.arange(2 * 3 * 8 * 4, dtype=jnp.float32).reshape(2, 3, 8, 4)
+        p = pack_kv(x)
+        assert p.shape == (2, 3, 4, 8)
+        # row u holds timesteps 2u (lanes :D) and 2u+1 (lanes D:)
+        np.testing.assert_array_equal(np.asarray(p[0, 0, 0, :4]),
+                                      np.asarray(x[0, 0, 0]))
+        np.testing.assert_array_equal(np.asarray(p[0, 0, 0, 4:]),
+                                      np.asarray(x[0, 0, 1]))
+        np.testing.assert_array_equal(np.asarray(unpack_kv(p)), np.asarray(x))
+
+    @pytest.mark.parametrize("pos", [0, 1, 5, 16, 127, 128, 255])
+    def test_matches_reference(self, pos):
+        from llm_qat_tpu.ops.decode_attention import (
+            decode_attention_hbm,
+            decode_attention_reference,
+            pack_kv,
+            unpack_kv,
+        )
+
+        q, kn, vn, kc, vc = self._mk()
+        want_o, want_k, want_v = decode_attention_reference(
+            q, kn, vn, kc, vc, pos)
+        got_o, got_k, got_v = decode_attention_hbm(
+            q, kn, vn, pack_kv(kc), pack_kv(vc), jnp.int32(pos), tbp=16,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(unpack_kv(got_k)),
+                                   np.asarray(want_k), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(unpack_kv(got_v)),
+                                   np.asarray(want_v), rtol=1e-6, atol=1e-6)
+
+    def test_future_rows_never_read(self):
+        from llm_qat_tpu.ops.decode_attention import (decode_attention_hbm,
+                                                      pack_kv)
+
+        q, kn, vn, kc, vc = self._mk(T=64)
+        kc2 = kc.at[:, :, 8:].set(99.0)
+        vc2 = vc.at[:, :, 8:].set(-99.0)
+        o1, _, _ = decode_attention_hbm(q, kn, vn, pack_kv(kc), pack_kv(vc),
+                                        jnp.int32(3), tbp=8, interpret=True)
+        o2, _, _ = decode_attention_hbm(q, kn, vn, pack_kv(kc2), pack_kv(vc2),
+                                        jnp.int32(3), tbp=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_full_decode_path_matches_dense(self):
+        """Packed-cache prefill + decode (via infer_forward_unrolled) is
+        step-exact vs the dense-cache XLA path in f32."""
+        from llm_qat_tpu.models import (GPT2Config, QuantConfig,
+                                        SPModelConfig, init_sp_params)
+        from llm_qat_tpu.models.inference import (infer_forward_unrolled,
+                                                  init_layer_caches,
+                                                  quantize_for_inference)
+        from llm_qat_tpu.train import CalibrationManager
+
+        rng = np.random.default_rng(0)
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=256, n_positions=512, n_embd=64,
+                             n_layer=2, n_head=2),
+            quant=QuantConfig(bit_widths=(4, 8, 32),
+                              quantizer_per_bit={8: "minmax"},
+                              per_channel=False,
+                              lora_rank_per_bit={b: 4 for b in range(2, 17)}
+                              | {32: 0},
+                              lora_alpha_per_bit={b: 8 for b in range(2, 17)}
+                              | {32: 0}))
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        batches = [jnp.asarray(rng.integers(0, 256, (2, 16)))
+                   for _ in range(2)]
+        params = CalibrationManager(cfg, 2).calibrate_all_precisions(
+            params, batches)
+        ip = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                    weight_format="int8_xla")
+        st = ip.pop("_static")
+        ids = batches[0][:, :8]
+
+        dense = init_layer_caches(cfg, 2, 128, jnp.float32)
+        ld, cd, _ = infer_forward_unrolled(ip, ids, cfg, dense, jnp.int32(0),
+                                           static=st)
+        packed = init_layer_caches(cfg, 2, 128, jnp.float32,
+                                   kv_layout="packed")
+        lp, cp, _ = infer_forward_unrolled(ip, ids, cfg, packed, jnp.int32(0),
+                                           static=st, attn_interpret=True)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ld),
+                                   rtol=1e-5, atol=1e-5)
+        tok = jnp.argmax(ld[:, -1:], axis=-1)
+        pos = 8
+        for _ in range(3):
+            ld, cd, _ = infer_forward_unrolled(ip, tok, cfg, cd,
+                                               jnp.int32(pos), static=st)
+            lp, cp, _ = infer_forward_unrolled(ip, tok, cfg, cp,
+                                               jnp.int32(pos), static=st,
+                                               attn_interpret=True)
+            np.testing.assert_allclose(np.asarray(lp), np.asarray(ld),
+                                       rtol=1e-4, atol=1e-5)
+            tok = jnp.argmax(ld[:, -1:], axis=-1)
+            pos += 1
