@@ -320,6 +320,7 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
                            length, *, quantize_input: bool = True,
                            static: Optional[StaticMeta] = None,
                            fused_attention: bool = False,
+                           fused_linears: bool = False,
                            attn_interpret: bool = False):
     """Decode-optimized forward: python-unrolled layers + tuple caches.
 
@@ -349,9 +350,24 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
     blocks = iparams["blocks"]
     for li in range(m.n_layer):
         bp = jax.tree.map(lambda a: a[li], blocks)
-        hn = _ln(h, bp["ln1"]["g"], bp["ln1"]["b"], m.layer_norm_epsilon)
-        qkv = _infer_linear(hn, bp["c_attn"], bits, kind, cfg,
-                            quantize_input, static)
+        # whole-segment Pallas fusion (decode, int8 weights, static minmax
+        # activation scales): LN1+QKV in one kernel, proj..mlp in another —
+        # collapses ~15 XLA kernels/layer into 2 + attention
+        use_fused = (fused_linears and S == 1
+                     and "w_i8" in bp["c_attn"] and "x_s" in bp["c_attn"])
+        if use_fused:
+            from ..ops.fused_decode import fused_ln_qkv
+
+            h2d = h[:, 0].astype(jnp.float32)
+            qkv = fused_ln_qkv(
+                h2d, bp["ln1"]["g"], bp["ln1"]["b"], bp["c_attn"]["w_i8"],
+                bp["c_attn"]["w_s"], bp["c_attn"]["b"], bp["c_attn"]["x_s"],
+                bp["c_attn"].get("lora_A"), bp["c_attn"].get("lora_B"),
+                eps=m.layer_norm_epsilon, interpret=attn_interpret)[:, None]
+        else:
+            hn = _ln(h, bp["ln1"]["g"], bp["ln1"]["b"], m.layer_norm_epsilon)
+            qkv = _infer_linear(hn, bp["c_attn"], bits, kind, cfg,
+                                quantize_input, static)
         qh, kh, vh = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -426,6 +442,17 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
             scores = jnp.where((k_pos <= q_pos)[None, None], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
             attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
+        if use_fused:
+            from ..ops.fused_decode import fused_post_attention
+
+            attn2d = attn.transpose(0, 2, 1, 3).reshape(B, -1)
+            h = fused_post_attention(
+                attn2d.astype(jnp.float32), h2d, bp["ln2"]["g"],
+                bp["ln2"]["b"], bp["attn_proj"], bp["c_fc"], bp["mlp_proj"],
+                jnp.stack([bp["attn_proj"]["x_s"], bp["c_fc"]["x_s"],
+                           bp["mlp_proj"]["x_s"]]),
+                eps=m.layer_norm_epsilon, interpret=attn_interpret)[:, None]
+            continue
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1).astype(h.dtype)
         h = h + _infer_linear(attn, bp["attn_proj"], bits, kind, cfg,
                               quantize_input, static).astype(h.dtype)

@@ -38,6 +38,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# --- raw-lax helpers -------------------------------------------------------
+# jnp.round/clip/where and traced // % lower through tiny nested `jit`s
+# (closed_call). Several pallas kernels inside one lax.scan body trip XLA's
+# MLIR lowering cache on those shared sub-jaxprs (KeyError 'closed_call'),
+# so kernels use these jit-free equivalents instead.
+
+
+def _rne(x):
+    """round-half-even (jnp.round semantics) without the nested jit."""
+    return jax.lax.round(x, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+
+
+def _clamp(x, lo, hi):
+    return jnp.minimum(jnp.maximum(x, lo), hi)
+
+
+def _sel(pred, a, b):
+    """jnp.where(pred, a, b) without the nested jit (explicit broadcast)."""
+    shape = jnp.broadcast_shapes(pred.shape, jnp.shape(a), jnp.shape(b))
+    return jax.lax.select_n(jnp.broadcast_to(pred, shape),
+                            jnp.broadcast_to(b, shape),
+                            jnp.broadcast_to(a, shape))
+
+
+def _idiv(a, b):
+    """a // b for nonnegative ints without the nested jit."""
+    return jax.lax.div(a, b)
+
+
+def _irem(a, b):
+    """a % b for nonnegative ints without the nested jit."""
+    return jax.lax.rem(a, b)
+
+
 
 def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
                         o_ref, kc_out, vc_out, *, sm_scale):
@@ -139,12 +173,12 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
     del kc_in, vc_in  # aliased to kc/vc outputs
     pos = pos_ref[0]
     BH = q_ref.shape[0]
-    pp = pos // 2  # paired-row index of the new position
-    half = pos % 2
+    pp = _idiv(pos, 2)  # paired-row index of the new position
+    half = _irem(pos, 2)
 
     # 1. append new K/V rows: RMW the aligned (BH, 8, 2D) sublane group
-    grp8 = pl.multiple_of((pp // 8) * 8, 8)
-    sub = pp % 8
+    grp8 = pl.multiple_of(_idiv(pp, 8) * 8, 8)
+    sub = _irem(pp, 8)
     rk = pltpu.make_async_copy(kc.at[:, pl.ds(grp8, 8)], rmwk, rsem.at[0])
     rv = pltpu.make_async_copy(vc.at[:, pl.ds(grp8, 8)], rmwv, rsem.at[1])
     rk.start()
@@ -152,12 +186,12 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
     rk.wait()
     rv.wait()
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 2 * D), 1)
-    lane_half = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 2 * D), 2) // D
-    sel = (sub_ids == sub) & (lane_half == half)
+    lane_hi = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 2 * D), 2) >= D
+    sel = (sub_ids == sub) & (lane_hi == (half == 1))
     kn2 = jnp.concatenate([kn_ref[:], kn_ref[:]], axis=-1)  # (BH, 1, 2D)
     vn2 = jnp.concatenate([vn_ref[:], vn_ref[:]], axis=-1)
-    rmwk[:] = jnp.where(sel, kn2, rmwk[:])
-    rmwv[:] = jnp.where(sel, vn2, rmwv[:])
+    rmwk[:] = _sel(sel, kn2, rmwk[:])
+    rmwv[:] = _sel(sel, vn2, rmwv[:])
     wk = pltpu.make_async_copy(rmwk, kc.at[:, pl.ds(grp8, 8)], rsem.at[0])
     wv = pltpu.make_async_copy(rmwv, vc.at[:, pl.ds(grp8, 8)], rsem.at[1])
     wk.start()
@@ -165,7 +199,7 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
     wk.wait()
     wv.wait()
 
-    nblk = pp // tbp + 1  # tbp-paired-row blocks covering rows [0, pos]
+    nblk = _idiv(pp, tbp) + 1  # tbp-paired-row blocks over rows [0, pos]
 
     def get_dma(slot, j):
         off = pl.multiple_of(j * tbp, tbp)
@@ -186,11 +220,11 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
 
     def body(j, carry):
         m, l, acc = carry
-        slot = j % 2
+        slot = _irem(j, 2)
 
         @pl.when(j + 1 < nblk)
         def _():
-            kn_, vn_ = get_dma((j + 1) % 2, j + 1)
+            kn_, vn_ = get_dma(_irem(j + 1, 2), j + 1)
             kn_.start()
             vn_.start()
 
@@ -199,11 +233,11 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
         vj.wait()
         kb = kbuf[slot].astype(jnp.float32)  # (BH, tbp, 2D)
         prod = q2 * kb
-        s_e = jnp.sum(jnp.where(lane_lo, prod, 0.0), axis=-1)  # (BH, tbp)
+        s_e = jnp.sum(_sel(lane_lo, prod, 0.0), axis=-1)  # (BH, tbp)
         s_o = jnp.sum(prod, axis=-1) - s_e
         u = jax.lax.broadcasted_iota(jnp.int32, (BH, tbp), 1) + j * tbp
-        s_e = jnp.where(2 * u <= pos, s_e, NEG_INF)
-        s_o = jnp.where(2 * u + 1 <= pos, s_o, NEG_INF)
+        s_e = _sel(2 * u <= pos, s_e, NEG_INF)
+        s_o = _sel(2 * u + 1 <= pos, s_o, NEG_INF)
         blk_max = jnp.maximum(jnp.max(s_e, axis=-1, keepdims=True),
                               jnp.max(s_o, axis=-1, keepdims=True))
         m_new = jnp.maximum(m, blk_max)
@@ -213,7 +247,7 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
         l_new = l * corr + (jnp.sum(p_e, axis=-1, keepdims=True)
                             + jnp.sum(p_o, axis=-1, keepdims=True))
         vb = vbuf[slot].astype(jnp.float32)  # (BH, tbp, 2D)
-        w = jnp.where(lane_lo, p_e[..., None], p_o[..., None])
+        w = _sel(lane_lo, p_e[..., None], p_o[..., None])
         acc_new = acc * corr + jnp.sum(w * vb, axis=1)  # (BH, 2D)
         return m_new, l_new, acc_new
 
@@ -239,9 +273,6 @@ def unpack_kv(x):
     return x.reshape(B, H, 2 * Tp, D2 // 2)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tbp", "interpret"),
-                   donate_argnums=(3, 4))
 def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
                          tbp: int = 64, interpret: bool = False):
     """Length-aware fused decode attention with HBM-resident PACKED caches.

@@ -380,3 +380,72 @@ class TestDecodeAttentionHBM:
                                        rtol=1e-4, atol=1e-5)
             tok = jnp.argmax(ld[:, -1:], axis=-1)
             pos += 1
+
+
+class TestFusedDecodeLayers:
+    """Fused LN+QKV / post-attention decode kernels (`ops/fused_decode.py`).
+    Opt-in (`infer_forward_unrolled(fused_linears=True)`): measured SLOWER
+    than the XLA chain on v5e (0.95 vs 0.71 ms/step — XLA's latency-hiding
+    scheduler overlaps weight fetches across ops better than serialized
+    kernel prologues; docs/RESULTS_R1.md), kept for future grid-pipelined
+    variants. Numerics must match the unfused int8 path to f32 ulp."""
+
+    def test_erf_matches_lax(self):
+        from llm_qat_tpu.ops.fused_decode import _erf
+
+        x = jnp.linspace(-6.0, 6.0, 4097)
+        err = float(jnp.max(jnp.abs(_erf(x) - jax.lax.erf(x))))
+        assert err < 5e-7, err  # 1.5e-7 A&S bound + f32 rounding
+
+    def test_fused_steps_match_unfused(self):
+        from llm_qat_tpu.models import (GPT2Config, QuantConfig,
+                                        SPModelConfig, init_sp_params)
+        from llm_qat_tpu.models.inference import (infer_forward_unrolled,
+                                                  init_layer_caches,
+                                                  quantize_for_inference)
+        from llm_qat_tpu.train import CalibrationManager
+
+        rng = np.random.default_rng(0)
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=256, n_positions=512, n_embd=64,
+                             n_layer=2, n_head=2),
+            quant=QuantConfig(bit_widths=(4, 8, 32),
+                              quantizer_per_bit={8: "minmax"},
+                              per_channel=False,
+                              lora_rank_per_bit={b: 4 for b in range(2, 17)}
+                              | {32: 0},
+                              lora_alpha_per_bit={b: 8 for b in range(2, 17)}
+                              | {32: 0}))
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(7)  # non-zero LoRA exercises the epilogue
+        for blk in ("c_attn", "attn_proj", "c_fc", "mlp_proj"):
+            lin = params["blocks"][blk]
+            lin["lora_B"] = 0.05 * jax.random.normal(
+                key, lin["lora_B"].shape, lin["lora_B"].dtype)
+        batches = [jnp.asarray(rng.integers(0, 256, (2, 16)))
+                   for _ in range(2)]
+        params = CalibrationManager(cfg, 2).calibrate_all_precisions(
+            params, batches)
+        ip = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                    weight_format="int8_xla")
+        st = ip.pop("_static")
+        ids = batches[0][:, :8]
+        caches = init_layer_caches(cfg, 2, 128, jnp.float32,
+                                   kv_layout="packed")
+        l0, c0, _ = infer_forward_unrolled(ip, ids, cfg, caches, jnp.int32(0),
+                                           static=st, attn_interpret=True)
+        c1 = tuple(jnp.array(np.asarray(c)) for c in c0)
+        tok = jnp.argmax(l0[:, -1:], axis=-1)
+        pos = 8
+        for _ in range(3):
+            la, c0, _ = infer_forward_unrolled(ip, tok, cfg, c0,
+                                               jnp.int32(pos), static=st,
+                                               attn_interpret=True)
+            lb, c1, _ = infer_forward_unrolled(ip, tok, cfg, c1,
+                                               jnp.int32(pos), static=st,
+                                               attn_interpret=True,
+                                               fused_linears=True)
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                       rtol=1e-5, atol=1e-6)
+            tok = jnp.argmax(la[:, -1:], axis=-1)
+            pos += 1
