@@ -294,16 +294,21 @@ def init_layer_caches(cfg: SPModelConfig, batch: int, max_len: int,
     the KV axis of the W-A-KV bit configurations, halving cache HBM
     traffic; any other value keeps dense `dtype` storage.
 
-    `kv_layout="packed"` allocates (B, H, T/2, 2·head_dim) rows (two
-    timesteps per 128-lane row — head_dim 64 is otherwise tile-padded to
-    128 lanes in HBM, doubling capacity and traffic) and routes decode
-    through the length-aware `decode_attention_hbm` Pallas kernel.
-    max_len is rounded up to a multiple of 128.
+    `kv_layout="packed"` allocates (B, H, T/P, P·head_dim) rows — P =
+    `kv_pack_factor(head_dim)` timesteps per 128-lane row (a <128-lane
+    minor dim is otherwise tile-padded to 128 in HBM, multiplying capacity
+    and traffic) — and routes decode through the length-aware
+    `decode_attention_hbm` Pallas kernel. max_len is rounded up to a
+    multiple of 8·P (and at least 128).
     """
     m = cfg.model
     if kv_layout == "packed":
-        max_len = ((max_len + 127) // 128) * 128
-        shape = (batch, m.n_head, max_len // 2, 2 * m.head_dim)
+        from ..ops.decode_attention import kv_pack_factor
+
+        P = kv_pack_factor(m.head_dim)
+        unit = max(8 * P, 128)
+        max_len = ((max_len + unit - 1) // unit) * unit
+        shape = (batch, m.n_head, max_len // P, P * m.head_dim)
         return tuple(jnp.zeros(shape, dtype) for _ in range(2 * m.n_layer))
     if kv_bits == 8:
         from ..ops.kv_cache import init_quantized_kv
@@ -333,13 +338,16 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
     iparams = {k: v for k, v in iparams.items() if k != "_static"}
     bits = iparams["_bits"]
     kind = iparams["_kind"]
+    from ..ops.decode_attention import kv_pack_factor
+
     B, S = input_ids.shape
     start = length
     c0 = caches[0]
-    packed_kv = (not hasattr(c0, "codes")
-                 and c0.shape[-1] == 2 * m.head_dim)
+    kv_pack = kv_pack_factor(m.head_dim)
+    packed_kv = (not hasattr(c0, "codes") and kv_pack > 1
+                 and c0.shape[-1] == kv_pack * m.head_dim)
     if packed_kv:
-        T_max = 2 * c0.shape[2]
+        T_max = kv_pack * c0.shape[2]
     else:
         T_max = (c0.codes if hasattr(c0, "codes") else c0).shape[2]
 
@@ -396,19 +404,20 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
             new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
             attn = attn_o
         elif packed_kv:
-            # prefill into packed caches: pack pairs of timesteps, attend on
-            # the unpacked view (a contiguous-dim reshape). Requires even
-            # `start` and S (prompt lengths are padded by callers).
+            # prefill into packed caches: pack groups of P timesteps, attend
+            # on the unpacked view (a contiguous-dim reshape). Requires
+            # P-aligned `start` and S (prompt lengths are padded by callers).
             from ..ops.decode_attention import pack_kv, unpack_kv
 
             kc = jax.lax.dynamic_update_slice(
                 caches[2 * li], pack_kv(kh.astype(c0.dtype)),
-                (0, 0, start // 2, 0))
+                (0, 0, start // kv_pack, 0))
             vc = jax.lax.dynamic_update_slice(
                 caches[2 * li + 1], pack_kv(vh.astype(c0.dtype)),
-                (0, 0, start // 2, 0))
+                (0, 0, start // kv_pack, 0))
             new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
-            k_all, v_all = unpack_kv(kc), unpack_kv(vc)
+            k_all = unpack_kv(kc, m.head_dim)
+            v_all = unpack_kv(vc, m.head_dim)
             scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
             scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all,
                                 preferred_element_type=jnp.float32) * scale
@@ -558,7 +567,8 @@ class InferenceEngine:
     def __init__(self, params, cfg: SPModelConfig, bits: int,
                  max_batch: int = 8, max_len: int = 1024,
                  dtype=jnp.bfloat16, weight_format: str = "dense",
-                 lm_head_int8: bool = False):
+                 lm_head_int8: bool = False, kv_layout: str = "auto",
+                 attn_interpret: bool = False):
         from functools import partial
 
         self.cfg = cfg
@@ -566,6 +576,12 @@ class InferenceEngine:
         self.max_batch = max_batch
         self.max_len = min(max_len, cfg.model.n_positions)
         self.dtype = dtype
+        if kv_layout == "auto":
+            # packed caches + the HBM decode kernel need the Mosaic TPU
+            # backend; everywhere else keep dense caches (still correct)
+            kv_layout = ("packed" if jax.default_backend() == "tpu"
+                         else "dense")
+        self.kv_layout = kv_layout
         self.iparams = quantize_for_inference(
             params, cfg, bits, dtype, weight_format=weight_format,
             lm_head_int8=lm_head_int8)
@@ -576,7 +592,15 @@ class InferenceEngine:
         @jax.jit
         def _prefill(iparams, ids, caches):
             return infer_forward_unrolled(iparams, ids, cfg, caches,
-                                          jnp.int32(0), static=static)
+                                          jnp.int32(0), static=static,
+                                          attn_interpret=attn_interpret)
+
+        @jax.jit
+        def _prefill_step(iparams, ids, caches, length0):
+            # unaligned-prompt tail: one S=1 step at a traced offset
+            return infer_forward_unrolled(iparams, ids, cfg, caches,
+                                          length0, static=static,
+                                          attn_interpret=attn_interpret)
 
         @partial(jax.jit, static_argnames=("n_new", "temperature", "top_k",
                                            "top_p", "do_sample",
@@ -598,7 +622,8 @@ class InferenceEngine:
                 tok, caches, done = carry
                 i, r = xs
                 logits, caches, _ = infer_forward_unrolled(
-                    iparams, tok, cfg, caches, length0 + i, static=static)
+                    iparams, tok, cfg, caches, length0 + i, static=static,
+                    attn_interpret=attn_interpret)
                 nxt = sample(logits[:, -1], r)
                 if eos_token_id is not None:
                     nxt = jnp.where(done, eos_token_id, nxt)
@@ -613,6 +638,7 @@ class InferenceEngine:
             return toks.T, caches
 
         self._prefill = _prefill
+        self._prefill_step = _prefill_step
         self._decode = _decode
 
     def generate(self, input_ids, max_new_tokens: int = 64, *,
@@ -628,8 +654,23 @@ class InferenceEngine:
             rng = jax.random.PRNGKey(0)
         caches = init_layer_caches(self.cfg, B,
                                    min(self.max_len, T0 + max_new_tokens),
-                                   self.dtype)
-        logits, caches, _ = self._prefill(self.iparams, input_ids, caches)
+                                   self.dtype, kv_layout=self.kv_layout)
+        # packed caches require a P-aligned prefill write; process the
+        # prompt's unaligned tail one token at a time (S=1 -> HBM kernel)
+        if self.kv_layout == "packed":
+            from ..ops.decode_attention import kv_pack_factor
+
+            P = kv_pack_factor(self.cfg.model.head_dim)
+            T0e = T0 - (T0 % P)
+        else:
+            T0e = T0
+        logits = None
+        if T0e > 0:
+            logits, caches, _ = self._prefill(
+                self.iparams, input_ids[:, :T0e], caches)
+        for t in range(T0e, T0):
+            logits, caches, _ = self._prefill_step(
+                self.iparams, input_ids[:, t:t + 1], caches, jnp.int32(t))
         tok0 = jnp.argmax(logits[:, -1:], axis=-1)
         toks, _ = self._decode(
             self.iparams, tok0, caches, jnp.int32(T0), rng,

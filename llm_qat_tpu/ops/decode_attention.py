@@ -158,25 +158,27 @@ def decode_attention(q, k_new, v_new, k_cache, v_cache, pos, *,
 
 def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
                 o_ref, kc, vc, kbuf, vbuf, rmwk, rmwv, sem, rsem,
-                *, sm_scale, tbp, D):
-    """Single program, whole batch, PACKED caches: (BH, T/2, 2D) — two
-    timesteps share one 128-lane row, so the bf16 HBM layout is unpadded
-    (Mosaic tile-pads a 64-lane minor dim to 128, silently doubling cache
-    capacity AND traffic in the standard (…, T, 64) layout). Caches stay
-    HBM-resident (`pltpu.ANY`): the new row is appended by a
-    read-modify-write of its aligned 8-sublane group (~0.2 MB), then
-    attention streams the live prefix through VMEM in `tbp`-paired-row
-    blocks with double buffering, looping only to the block containing
-    `pos` — traffic is ~1x the LIVE prefix instead of XLA's ~3x full-T_max
-    (dynamic_update_slice copy read+write + attend read). Online softmax
-    accumulates across blocks; even/odd timesteps live in lane halves."""
+                *, sm_scale, tbp, D, P):
+    """Single program, whole batch, PACKED caches: (BH, T/P, P*D) — P
+    timesteps share one 128-lane row (P = 128 // head_dim), so the HBM
+    layout is unpadded (Mosaic tile-pads a <128-lane minor dim to 128,
+    silently multiplying cache capacity AND traffic in the standard
+    (…, T, D) layout). Caches stay HBM-resident (`pltpu.ANY`): the new row
+    is appended by a read-modify-write of its aligned 8-sublane group
+    (~0.2 MB), then attention streams the live prefix through VMEM in
+    `tbp`-packed-row blocks with double buffering, looping only to the
+    block containing `pos` — traffic is ~1x the LIVE prefix instead of
+    XLA's ~3x full-T_max (dynamic_update_slice copy read+write + attend
+    read). Online softmax accumulates across blocks; the P timesteps of a
+    row live in lane groups [i*D, (i+1)*D)."""
     del kc_in, vc_in  # aliased to kc/vc outputs
     pos = pos_ref[0]
     BH = q_ref.shape[0]
-    pp = _idiv(pos, 2)  # paired-row index of the new position
-    half = _irem(pos, 2)
+    PD = P * D
+    pp = _idiv(pos, P)  # packed-row index of the new position
+    part = _irem(pos, P)
 
-    # 1. append new K/V rows: RMW the aligned (BH, 8, 2D) sublane group
+    # 1. append new K/V rows: RMW the aligned (BH, 8, P*D) sublane group
     grp8 = pl.multiple_of(_idiv(pp, 8) * 8, 8)
     sub = _irem(pp, 8)
     rk = pltpu.make_async_copy(kc.at[:, pl.ds(grp8, 8)], rmwk, rsem.at[0])
@@ -185,13 +187,15 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
     rv.start()
     rk.wait()
     rv.wait()
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 2 * D), 1)
-    lane_hi = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 2 * D), 2) >= D
-    sel = (sub_ids == sub) & (lane_hi == (half == 1))
-    kn2 = jnp.concatenate([kn_ref[:], kn_ref[:]], axis=-1)  # (BH, 1, 2D)
-    vn2 = jnp.concatenate([vn_ref[:], vn_ref[:]], axis=-1)
-    rmwk[:] = _sel(sel, kn2, rmwk[:])
-    rmwv[:] = _sel(sel, vn2, rmwv[:])
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 1)
+    lane_part = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 2)
+    lane_part = jnp.minimum(_idiv(lane_part,
+                                  jnp.full_like(lane_part, D)), P - 1)
+    sel = (sub_ids == sub) & (lane_part == part)
+    knP = jnp.concatenate([kn_ref[:]] * P, axis=-1)  # (BH, 1, P*D)
+    vnP = jnp.concatenate([vn_ref[:]] * P, axis=-1)
+    rmwk[:] = _sel(sel, knP, rmwk[:])
+    rmwv[:] = _sel(sel, vnP, rmwv[:])
     wk = pltpu.make_async_copy(rmwk, kc.at[:, pl.ds(grp8, 8)], rsem.at[0])
     wv = pltpu.make_async_copy(rmwv, vc.at[:, pl.ds(grp8, 8)], rsem.at[1])
     wk.start()
@@ -199,7 +203,7 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
     wk.wait()
     wv.wait()
 
-    nblk = _idiv(pp, tbp) + 1  # tbp-paired-row blocks over rows [0, pos]
+    nblk = _idiv(pp, tbp) + 1  # tbp-packed-row blocks over rows [0, pos]
 
     def get_dma(slot, j):
         off = pl.multiple_of(j * tbp, tbp)
@@ -215,8 +219,9 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
     v0.start()
 
     q = q_ref[:].astype(jnp.float32) * sm_scale  # (BH, 1, D)
-    q2 = jnp.concatenate([q, q], axis=-1)  # (BH, 1, 2D)
-    lane_lo = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * D), 2) < D)
+    qP = jnp.concatenate([q] * P, axis=-1)  # (BH, 1, P*D)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PD), 2)
+    part3 = jnp.minimum(_idiv(lane3, jnp.full_like(lane3, D)), P - 1)
 
     def body(j, carry):
         m, l, acc = carry
@@ -231,65 +236,85 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
         kj, vj = get_dma(slot, j)
         kj.wait()
         vj.wait()
-        kb = kbuf[slot].astype(jnp.float32)  # (BH, tbp, 2D)
-        prod = q2 * kb
-        s_e = jnp.sum(_sel(lane_lo, prod, 0.0), axis=-1)  # (BH, tbp)
-        s_o = jnp.sum(prod, axis=-1) - s_e
+        kb = kbuf[slot].astype(jnp.float32)  # (BH, tbp, P*D)
+        prod = qP * kb
         u = jax.lax.broadcasted_iota(jnp.int32, (BH, tbp), 1) + j * tbp
-        s_e = _sel(2 * u <= pos, s_e, NEG_INF)
-        s_o = _sel(2 * u + 1 <= pos, s_o, NEG_INF)
-        blk_max = jnp.maximum(jnp.max(s_e, axis=-1, keepdims=True),
-                              jnp.max(s_o, axis=-1, keepdims=True))
+        # per-part masked score reductions + online-softmax update
+        s_parts = []
+        for i in range(P):
+            s_i = jnp.sum(_sel(part3 == i, prod, 0.0), axis=-1)  # (BH, tbp)
+            s_i = _sel(P * u + i <= pos, s_i, NEG_INF)
+            s_parts.append(s_i)
+        blk_max = s_parts[0].max(axis=-1, keepdims=True)
+        for s_i in s_parts[1:]:
+            blk_max = jnp.maximum(blk_max, s_i.max(axis=-1, keepdims=True))
         m_new = jnp.maximum(m, blk_max)
-        p_e = jnp.exp(s_e - m_new)  # (BH, tbp)
-        p_o = jnp.exp(s_o - m_new)
+        p_parts = [jnp.exp(s_i - m_new) for s_i in s_parts]
         corr = jnp.exp(m - m_new)
-        l_new = l * corr + (jnp.sum(p_e, axis=-1, keepdims=True)
-                            + jnp.sum(p_o, axis=-1, keepdims=True))
-        vb = vbuf[slot].astype(jnp.float32)  # (BH, tbp, 2D)
-        w = _sel(lane_lo, p_e[..., None], p_o[..., None])
-        acc_new = acc * corr + jnp.sum(w * vb, axis=1)  # (BH, 2D)
+        l_new = l * corr
+        for p_i in p_parts:
+            l_new = l_new + jnp.sum(p_i, axis=-1, keepdims=True)
+        vb = vbuf[slot].astype(jnp.float32)  # (BH, tbp, P*D)
+        w = p_parts[0][..., None]
+        for i in range(1, P):
+            w = _sel(part3 == i, p_parts[i][..., None], w)
+        acc_new = acc * corr + jnp.sum(w * vb, axis=1)  # (BH, P*D)
         return m_new, l_new, acc_new
 
     m0 = jnp.full((BH, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BH, 1), jnp.float32)
-    a0 = jnp.zeros((BH, 2 * D), jnp.float32)
+    a0 = jnp.zeros((BH, PD), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
-    out = (acc[:, :D] + acc[:, D:]) / jnp.maximum(l, 1e-30)
+    out = acc[:, :D]
+    for i in range(1, P):
+        out = out + acc[:, i * D:(i + 1) * D]
+    out = out / jnp.maximum(l, 1e-30)
     o_ref[:] = out[:, None, :].astype(o_ref.dtype)
 
 
+def kv_pack_factor(head_dim: int) -> int:
+    """Timesteps per 128-lane packed row (1 if head_dim doesn't divide 128)."""
+    return 128 // head_dim if 128 % head_dim == 0 and head_dim < 128 else 1
+
+
 def pack_kv(x):
-    """(B, H, S, D) -> packed (B, H, S/2, 2D): timesteps 2u / 2u+1 share one
-    row in lane halves. Contiguous-dim merge — a bitcast-level reshape."""
+    """(B, H, S, D) -> packed (B, H, S/P, P*D), P = kv_pack_factor(D):
+    timesteps P*u..P*u+P-1 share one row in lane groups. Contiguous-dim
+    merge — a bitcast-level reshape."""
     B, H, S, D = x.shape
-    assert S % 2 == 0
-    return x.reshape(B, H, S // 2, 2 * D)
+    P = kv_pack_factor(D)
+    assert S % P == 0
+    return x.reshape(B, H, S // P, P * D)
 
 
-def unpack_kv(x):
-    """Packed (B, H, Tp, 2D) -> (B, H, 2*Tp, D)."""
-    B, H, Tp, D2 = x.shape
-    return x.reshape(B, H, 2 * Tp, D2 // 2)
+def unpack_kv(x, head_dim: int = 64):
+    """Packed (B, H, Tp, P*D) -> (B, H, P*Tp, D)."""
+    B, H, Tp, PD = x.shape
+    assert PD % head_dim == 0
+    return x.reshape(B, H, (PD // head_dim) * Tp, head_dim)
 
 
 def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
                          tbp: int = 64, interpret: bool = False):
     """Length-aware fused decode attention with HBM-resident PACKED caches.
 
-    q/k_new/v_new: (B, H, 1, D); k_cache/v_cache PACKED (B, H, T/2, 2D)
-    (see `pack_kv`) and DONATED; (T/2) % tbp == 0; `pos` a SCALAR int32
-    (uniform position — the per-slot variant is `decode_attention`). The
-    packed layout keeps bf16 rows at full 128 lanes (Mosaic tile-pads a
-    64-lane minor dim, doubling capacity + traffic), and cache HBM traffic
-    per call is one 8-sublane RMW + ~(pos+1) live rows read, independent of
-    T_max. Returns (out (B, H, 1, D) f32, k_cache, v_cache packed).
+    q/k_new/v_new: (B, H, 1, D); k_cache/v_cache PACKED (B, H, T/P, P*D)
+    (see `pack_kv`; P = kv_pack_factor(D)) and DONATED by the caller's jit;
+    (T/P) % tbp == 0; `pos` a SCALAR int32 (uniform position — the per-slot
+    variant is `decode_attention`). The packed layout keeps rows at full
+    128 lanes (Mosaic tile-pads a narrower minor dim, multiplying capacity
+    + traffic), and cache HBM traffic per call is one 8-sublane RMW +
+    ~(pos+1) live rows read, independent of T_max. Returns
+    (out (B, H, 1, D) f32, k_cache, v_cache packed).
     """
     B, H, _, D = q.shape
+    P = kv_pack_factor(D)
     Tp = k_cache.shape[2]
-    assert k_cache.shape[3] == 2 * D
-    assert Tp % tbp == 0, f"T/2={Tp} must be a multiple of tbp={tbp}"
-    assert tbp % 8 == 0
+    assert k_cache.shape[3] == P * D
+    tbp = min(tbp, Tp)
+    while Tp % tbp and tbp > 8:  # largest 8-multiple block dividing Tp
+        tbp -= 8
+    assert Tp % tbp == 0 and tbp % 8 == 0, (Tp, tbp)
     sm_scale = 1.0 / math.sqrt(D)
     BH = B * H
 
@@ -297,7 +322,7 @@ def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
     pos1 = jnp.asarray(pos, jnp.int32).reshape(1)
 
     out, kc, vc = pl.pallas_call(
-        functools.partial(_hbm_kernel, sm_scale=sm_scale, tbp=tbp, D=D),
+        functools.partial(_hbm_kernel, sm_scale=sm_scale, tbp=tbp, D=D, P=P),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -313,14 +338,14 @@ def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BH, 1, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Tp, 2 * D), cdt),
-            jax.ShapeDtypeStruct((BH, Tp, 2 * D), cdt),
+            jax.ShapeDtypeStruct((BH, Tp, P * D), cdt),
+            jax.ShapeDtypeStruct((BH, Tp, P * D), cdt),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BH, tbp, 2 * D), cdt),
-            pltpu.VMEM((2, BH, tbp, 2 * D), cdt),
-            pltpu.VMEM((BH, 8, 2 * D), cdt),
-            pltpu.VMEM((BH, 8, 2 * D), cdt),
+            pltpu.VMEM((2, BH, tbp, P * D), cdt),
+            pltpu.VMEM((2, BH, tbp, P * D), cdt),
+            pltpu.VMEM((BH, 8, P * D), cdt),
+            pltpu.VMEM((BH, 8, P * D), cdt),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -328,10 +353,10 @@ def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
         interpret=interpret,
     )(pos1, q.reshape(BH, 1, D), k_new.astype(cdt).reshape(BH, 1, D),
       v_new.astype(cdt).reshape(BH, 1, D),
-      k_cache.reshape(BH, Tp, 2 * D), v_cache.reshape(BH, Tp, 2 * D))
+      k_cache.reshape(BH, Tp, P * D), v_cache.reshape(BH, Tp, P * D))
 
-    return (out.reshape(B, H, 1, D), kc.reshape(B, H, Tp, 2 * D),
-            vc.reshape(B, H, Tp, 2 * D))
+    return (out.reshape(B, H, 1, D), kc.reshape(B, H, Tp, P * D),
+            vc.reshape(B, H, Tp, P * D))
 
 
 def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, pos):

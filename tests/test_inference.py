@@ -375,6 +375,29 @@ class TestInt8XLAPath:
         assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.9
 
 
+class TestPackedEngine:
+    def test_packed_engine_matches_dense(self, setup):
+        """kv_layout="packed" engine == dense engine token-for-token (CPU
+        f32), including prompts shorter than / unaligned to the pack
+        factor (tail tokens go through single decode steps)."""
+        from llm_qat_tpu.models.inference import InferenceEngine
+
+        cfg, params, tables, batches = setup
+        e_dense = InferenceEngine(params, cfg, bits=8, max_batch=2,
+                                  max_len=64, dtype=jnp.float32,
+                                  kv_layout="dense")
+        e_packed = InferenceEngine(params, cfg, bits=8, max_batch=2,
+                                   max_len=64, dtype=jnp.float32,
+                                   kv_layout="packed", attn_interpret=True)
+        for T0 in (8, 7, 5, 3):
+            prompt = batches[0][:2, :T0]
+            a = np.asarray(e_dense.generate(prompt, max_new_tokens=5,
+                                            do_sample=False))
+            b = np.asarray(e_packed.generate(prompt, max_new_tokens=5,
+                                             do_sample=False))
+            np.testing.assert_array_equal(b, a, err_msg=f"T0={T0}")
+
+
 class TestFusedDecodeAttention:
     def test_fused_matches_unfused_decode(self, setup):
         from llm_qat_tpu.models.inference import (

@@ -280,20 +280,28 @@ class TestDecodeAttentionHBM:
         return q, kn, vn, kc, vc
 
     def test_pack_unpack_roundtrip(self):
-        from llm_qat_tpu.ops.decode_attention import pack_kv, unpack_kv
+        from llm_qat_tpu.ops.decode_attention import (kv_pack_factor,
+                                                      pack_kv, unpack_kv)
 
-        x = jnp.arange(2 * 3 * 8 * 4, dtype=jnp.float32).reshape(2, 3, 8, 4)
+        assert kv_pack_factor(64) == 2
+        assert kv_pack_factor(32) == 4
+        assert kv_pack_factor(128) == 1
+        assert kv_pack_factor(96) == 1  # doesn't divide 128 -> no packing
+        D = 32
+        x = jnp.arange(2 * 3 * 8 * D, dtype=jnp.float32).reshape(2, 3, 8, D)
         p = pack_kv(x)
-        assert p.shape == (2, 3, 4, 8)
-        # row u holds timesteps 2u (lanes :D) and 2u+1 (lanes D:)
-        np.testing.assert_array_equal(np.asarray(p[0, 0, 0, :4]),
-                                      np.asarray(x[0, 0, 0]))
-        np.testing.assert_array_equal(np.asarray(p[0, 0, 0, 4:]),
-                                      np.asarray(x[0, 0, 1]))
-        np.testing.assert_array_equal(np.asarray(unpack_kv(p)), np.asarray(x))
+        assert p.shape == (2, 3, 2, 4 * D)
+        # row u holds timesteps P*u..P*u+P-1 in consecutive lane groups
+        for i in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(p[0, 0, 0, i * D:(i + 1) * D]),
+                np.asarray(x[0, 0, i]))
+        np.testing.assert_array_equal(np.asarray(unpack_kv(p, D)),
+                                      np.asarray(x))
 
-    @pytest.mark.parametrize("pos", [0, 1, 5, 16, 127, 128, 255])
-    def test_matches_reference(self, pos):
+    @pytest.mark.parametrize("D", [64, 32])
+    @pytest.mark.parametrize("pos", [0, 1, 3, 5, 16, 127, 128, 255])
+    def test_matches_reference(self, pos, D):
         from llm_qat_tpu.ops.decode_attention import (
             decode_attention_hbm,
             decode_attention_reference,
@@ -301,7 +309,7 @@ class TestDecodeAttentionHBM:
             unpack_kv,
         )
 
-        q, kn, vn, kc, vc = self._mk()
+        q, kn, vn, kc, vc = self._mk(D=D)
         want_o, want_k, want_v = decode_attention_reference(
             q, kn, vn, kc, vc, pos)
         got_o, got_k, got_v = decode_attention_hbm(
@@ -309,9 +317,9 @@ class TestDecodeAttentionHBM:
             interpret=True)
         np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
                                    rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(unpack_kv(got_k)),
+        np.testing.assert_allclose(np.asarray(unpack_kv(got_k, D)),
                                    np.asarray(want_k), rtol=1e-6, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(unpack_kv(got_v)),
+        np.testing.assert_allclose(np.asarray(unpack_kv(got_v, D)),
                                    np.asarray(want_v), rtol=1e-6, atol=1e-6)
 
     def test_future_rows_never_read(self):
