@@ -359,6 +359,192 @@ def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
             vc.reshape(B, H, Tp, P * D))
 
 
+def _hbm_kernel_multi(pos_ref, maxpos_ref, q_ref, kn_ref, vn_ref,
+                      posv_ref, kc_in, vc_in,
+                      o_ref, kc, vc, kbuf, vbuf, rmwk, rmwv, sem, rsem,
+                      *, sm_scale, tbp, D, P, H):
+    """Per-slot-position variant of `_hbm_kernel` (continuous batching).
+
+    pos_ref: (B,) SMEM per-slot positions, -1 = inactive slot (no cache
+    write; its output lane is finite garbage the host ignores).
+    maxpos_ref: (1,) SMEM max(pos) — sets the streamed block count.
+    posv_ref: (BH, 1) VMEM copy of positions for the vector masks."""
+    del kc_in, vc_in  # aliased to kc/vc outputs
+    BH = q_ref.shape[0]
+    B = BH // H
+    PD = P * D
+
+    # 1. per-slot append: RMW each active slot's aligned sublane group
+    for b in range(B):
+        pos_b = pos_ref[b]
+
+        @pl.when(pos_b >= 0)
+        def _(b=b, pos_b=pos_b):
+            pp = _idiv(pos_b, P)
+            part = _irem(pos_b, P)
+            grp8 = pl.multiple_of(_idiv(pp, 8) * 8, 8)
+            sub = _irem(pp, 8)
+            rk = pltpu.make_async_copy(
+                kc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rmwk, rsem.at[0])
+            rv = pltpu.make_async_copy(
+                vc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rmwv, rsem.at[1])
+            rk.start()
+            rv.start()
+            rk.wait()
+            rv.wait()
+            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 1)
+            lane_part = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 2)
+            lane_part = jnp.minimum(
+                _idiv(lane_part, jnp.full_like(lane_part, D)), P - 1)
+            sel = (sub_ids == sub) & (lane_part == part)
+            knP = jnp.concatenate([kn_ref[b * H:(b + 1) * H]] * P, axis=-1)
+            vnP = jnp.concatenate([vn_ref[b * H:(b + 1) * H]] * P, axis=-1)
+            rmwk[:] = _sel(sel, knP, rmwk[:])
+            rmwv[:] = _sel(sel, vnP, rmwv[:])
+            wk = pltpu.make_async_copy(
+                rmwk, kc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rsem.at[0])
+            wv = pltpu.make_async_copy(
+                rmwv, vc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rsem.at[1])
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+    max_pos = jnp.maximum(maxpos_ref[0], 0)
+    nblk = _idiv(_idiv(max_pos, P), tbp) + 1
+
+    def get_dma(slot, j):
+        off = pl.multiple_of(j * tbp, tbp)
+        return (
+            pltpu.make_async_copy(kc.at[:, pl.ds(off, tbp)],
+                                  kbuf.at[slot], sem.at[0, slot]),
+            pltpu.make_async_copy(vc.at[:, pl.ds(off, tbp)],
+                                  vbuf.at[slot], sem.at[1, slot]),
+        )
+
+    k0, v0 = get_dma(0, 0)
+    k0.start()
+    v0.start()
+
+    q = q_ref[:].astype(jnp.float32) * sm_scale  # (BH, 1, D)
+    qP = jnp.concatenate([q] * P, axis=-1)  # (BH, 1, P*D)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PD), 2)
+    part3 = jnp.minimum(_idiv(lane3, jnp.full_like(lane3, D)), P - 1)
+    pos_col = posv_ref[:]  # (BH, 1) int32
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = _irem(j, 2)
+
+        @pl.when(j + 1 < nblk)
+        def _():
+            kn_, vn_ = get_dma(_irem(j + 1, 2), j + 1)
+            kn_.start()
+            vn_.start()
+
+        kj, vj = get_dma(slot, j)
+        kj.wait()
+        vj.wait()
+        kb = kbuf[slot].astype(jnp.float32)  # (BH, tbp, P*D)
+        prod = qP * kb
+        u = jax.lax.broadcasted_iota(jnp.int32, (BH, tbp), 1) + j * tbp
+        s_parts = []
+        for i in range(P):
+            s_i = jnp.sum(_sel(part3 == i, prod, 0.0), axis=-1)  # (BH, tbp)
+            s_i = _sel(P * u + i <= pos_col, s_i, NEG_INF)
+            s_parts.append(s_i)
+        blk_max = s_parts[0].max(axis=-1, keepdims=True)
+        for s_i in s_parts[1:]:
+            blk_max = jnp.maximum(blk_max, s_i.max(axis=-1, keepdims=True))
+        m_new = jnp.maximum(m, blk_max)
+        p_parts = [jnp.exp(s_i - m_new) for s_i in s_parts]
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr
+        for p_i in p_parts:
+            l_new = l_new + jnp.sum(p_i, axis=-1, keepdims=True)
+        vb = vbuf[slot].astype(jnp.float32)
+        w = p_parts[0][..., None]
+        for i in range(1, P):
+            w = _sel(part3 == i, p_parts[i][..., None], w)
+        acc_new = acc * corr + jnp.sum(w * vb, axis=1)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((BH, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BH, 1), jnp.float32)
+    a0 = jnp.zeros((BH, PD), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+    out = acc[:, :D]
+    for i in range(1, P):
+        out = out + acc[:, i * D:(i + 1) * D]
+    out = out / jnp.maximum(l, 1e-30)
+    o_ref[:] = out[:, None, :].astype(o_ref.dtype)
+
+
+def decode_attention_hbm_multi(q, k_new, v_new, k_cache, v_cache, pos, *,
+                               tbp: int = 64, interpret: bool = False):
+    """Per-slot-position packed-cache decode attention (continuous batching).
+
+    Same layout/traffic as `decode_attention_hbm`, but `pos` is (B,) int32
+    with -1 marking an inactive slot: no cache write happens for it and its
+    output row is unspecified (finite). Streamed blocks cover max(pos).
+    """
+    B, H, _, D = q.shape
+    P = kv_pack_factor(D)
+    Tp = k_cache.shape[2]
+    assert k_cache.shape[3] == P * D
+    tbp = min(tbp, Tp)
+    while Tp % tbp and tbp > 8:
+        tbp -= 8
+    assert Tp % tbp == 0 and tbp % 8 == 0, (Tp, tbp)
+    sm_scale = 1.0 / math.sqrt(D)
+    BH = B * H
+
+    cdt = k_cache.dtype
+    pos = jnp.asarray(pos, jnp.int32).reshape(B)
+    maxpos = jnp.max(pos).reshape(1)
+    pos_bh = jnp.repeat(pos, H).reshape(BH, 1)
+
+    out, kc, vc = pl.pallas_call(
+        functools.partial(_hbm_kernel_multi, sm_scale=sm_scale, tbp=tbp,
+                          D=D, P=P, H=H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, P * D), cdt),
+            jax.ShapeDtypeStruct((BH, Tp, P * D), cdt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BH, tbp, P * D), cdt),
+            pltpu.VMEM((2, BH, tbp, P * D), cdt),
+            pltpu.VMEM((H, 8, P * D), cdt),
+            pltpu.VMEM((H, 8, P * D), cdt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(pos, maxpos, q.reshape(BH, 1, D), k_new.astype(cdt).reshape(BH, 1, D),
+      v_new.astype(cdt).reshape(BH, 1, D), pos_bh,
+      k_cache.reshape(BH, Tp, P * D), v_cache.reshape(BH, Tp, P * D))
+
+    return (out.reshape(B, H, 1, D), kc.reshape(B, H, Tp, P * D),
+            vc.reshape(B, H, Tp, P * D))
+
+
 def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, pos):
     """jnp reference (the existing decode path's math) for testing."""
     B, H, _, D = q.shape

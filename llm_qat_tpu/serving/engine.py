@@ -56,12 +56,18 @@ class Request:
 
 
 def _decode_step(iparams, tokens, caches, lengths, active, cfg: SPModelConfig,
-                 static: StaticMeta):
+                 static: StaticMeta, attn_interpret: bool = False):
     """One token for every slot. tokens (B, 1); lengths (B,) current lengths;
     active (B,) bool. Returns (next_token (B,), new_caches)."""
+    from ..ops.decode_attention import kv_pack_factor
+
     m = cfg.model
     B = tokens.shape[0]
-    T_max = caches[0].shape[2]
+    kv_pack = kv_pack_factor(m.head_dim)
+    packed_kv = (kv_pack > 1
+                 and caches[0].shape[-1] == kv_pack * m.head_dim)
+    T_max = (kv_pack * caches[0].shape[2] if packed_kv
+             else caches[0].shape[2])
     bits = jnp.float32(static.bits)
     kind = jnp.int32(static.kind)
 
@@ -81,22 +87,36 @@ def _decode_step(iparams, tokens, caches, lengths, active, cfg: SPModelConfig,
             return t.reshape(B, 1, m.n_head, m.head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = heads(qh), heads(kh), heads(vh)
-        # per-slot scatter: slot b writes its K/V at its own position
-        kc = caches[2 * li].at[rows, :, pos, :].set(
-            kh[:, :, 0, :].astype(caches[0].dtype))
-        vc = caches[2 * li + 1].at[rows, :, pos, :].set(
-            vh[:, :, 0, :].astype(caches[0].dtype))
-        new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+        if packed_kv:
+            # per-slot packed HBM kernel: inactive slots (pos < 0) neither
+            # write nor produce a meaningful output row (host ignores them)
+            from ..ops.decode_attention import decode_attention_hbm_multi
 
-        scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
-        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kc,
-                            preferred_element_type=jnp.float32) * scale
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (B, T_max), 1)
-        valid = k_pos <= pos[:, None]  # causal per slot
-        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
-        attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1).astype(h.dtype)
+            pos_eff = jnp.where(active, pos, -1)
+            attn_o, kc, vc = decode_attention_hbm_multi(
+                qh, kh, vh, caches[2 * li], caches[2 * li + 1], pos_eff,
+                interpret=attn_interpret)
+            new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+            attn = attn_o.transpose(0, 2, 1, 3).reshape(B, 1, -1).astype(
+                h.dtype)
+        else:
+            # per-slot scatter: slot b writes its K/V at its own position
+            kc = caches[2 * li].at[rows, :, pos, :].set(
+                kh[:, :, 0, :].astype(caches[0].dtype))
+            vc = caches[2 * li + 1].at[rows, :, pos, :].set(
+                vh[:, :, 0, :].astype(caches[0].dtype))
+            new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
+
+            scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
+            scores = jnp.einsum("bhsd,bhtd->bhst", qh, kc,
+                                preferred_element_type=jnp.float32) * scale
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (B, T_max), 1)
+            valid = k_pos <= pos[:, None]  # causal per slot
+            scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
+            attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1).astype(
+                h.dtype)
         h = h + _infer_linear(attn, bp["attn_proj"], bits, kind, cfg, True,
                               static).astype(h.dtype)
         h2 = _ln(h, bp["ln2"]["g"], bp["ln2"]["b"], m.layer_norm_epsilon)
@@ -120,16 +140,29 @@ class ContinuousBatchingEngine:
 
     def __init__(self, params, cfg: SPModelConfig, bits: int,
                  n_slots: int = 8, max_len: int = 512,
-                 eos_token_id: Optional[int] = None, dtype=jnp.bfloat16):
+                 eos_token_id: Optional[int] = None, dtype=jnp.bfloat16,
+                 weight_format: str = "dense", lm_head_int8: bool = False,
+                 kv_layout: str = "auto", attn_interpret: bool = False):
+        from ..ops.decode_attention import kv_pack_factor
+
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_len = min(max_len, cfg.model.n_positions)
         self.eos_token_id = eos_token_id
         self.dtype = dtype
-        self.iparams = quantize_for_inference(params, cfg, bits, dtype)
+        if kv_layout == "auto":
+            kv_layout = ("packed" if jax.default_backend() == "tpu"
+                         else "dense")
+        self.kv_layout = kv_layout
+        kv_pack = kv_pack_factor(cfg.model.head_dim)
+        packed = kv_layout == "packed" and kv_pack > 1
+        self.iparams = quantize_for_inference(
+            params, cfg, bits, dtype, weight_format=weight_format,
+            lm_head_int8=lm_head_int8)
         self.static = self.iparams.pop("_static")
 
-        self.caches = init_layer_caches(cfg, n_slots, self.max_len, dtype)
+        self.caches = init_layer_caches(cfg, n_slots, self.max_len, dtype,
+                                        kv_layout=kv_layout)
         self.lengths = np.zeros((n_slots,), np.int32)
         self.last_token = np.zeros((n_slots,), np.int32)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
@@ -142,7 +175,8 @@ class ContinuousBatchingEngine:
 
         self._step = jax.jit(
             lambda ip, toks, caches, lengths, active: _decode_step(
-                ip, toks, caches, lengths, active, cfg_, static)
+                ip, toks, caches, lengths, active, cfg_, static,
+                attn_interpret)
         )
 
         # chunked decode: k steps on-device per host round trip. Essential
@@ -156,7 +190,7 @@ class ContinuousBatchingEngine:
             def body(carry, _):
                 toks, caches, lengths = carry
                 nxt, caches = _decode_step(ip, toks, caches, lengths, active,
-                                           cfg_, static)
+                                           cfg_, static, attn_interpret)
                 lengths = jnp.where(active, lengths + 1, lengths)
                 return (nxt[:, None], caches, lengths), nxt
 
@@ -172,9 +206,11 @@ class ContinuousBatchingEngine:
 
         @partial(jax.jit, static_argnames=("pad_len",))
         def _prefill(ip, ids, pad_len):
-            caches1 = init_layer_caches(cfg_, 1, self.max_len, dtype)
+            caches1 = init_layer_caches(cfg_, 1, self.max_len, dtype,
+                                        kv_layout=kv_layout)
             logits, caches1, _ = infer_forward_unrolled(
-                ip, ids, cfg_, caches1, jnp.int32(0), static=static)
+                ip, ids, cfg_, caches1, jnp.int32(0), static=static,
+                attn_interpret=attn_interpret)
             return logits, caches1
 
         self._prefill = _prefill
@@ -184,10 +220,13 @@ class ContinuousBatchingEngine:
         # request — fatal over a high-latency link)
         @partial(jax.jit, donate_argnums=(0,))
         def _insert_slot(caches, caches1, slot, t0):
-            t_idx = jnp.arange(self.max_len)[None, :, None]
             out = []
             for i in range(len(caches)):
-                row = jnp.where(t_idx < t0, caches1[i][0],
+                t_dim = caches[i].shape[2]
+                # packed rows hold kv_pack timesteps: copy ceil(t0/P) rows
+                thr = ((t0 + kv_pack - 1) // kv_pack) if packed else t0
+                t_idx = jnp.arange(t_dim)[None, :, None]
+                row = jnp.where(t_idx < thr, caches1[i][0],
                                 caches[i][slot])[None]
                 out.append(jax.lax.dynamic_update_slice(
                     caches[i], row, (slot, 0, 0, 0)))

@@ -87,3 +87,30 @@ class TestContinuousBatching:
         for ra, rb in zip(ids_a, ids_b):
             np.testing.assert_array_equal(fin_a[ra].generated,
                                           fin_b[rb].generated)
+
+
+class TestPackedContinuousBatching:
+    def test_packed_matches_dense_engine(self, setup):
+        """kv_layout="packed" continuous batching (per-slot HBM kernel,
+        interpret mode on CPU) produces the same tokens as the dense-cache
+        engine across interleaved variable-length requests."""
+        cfg, params = setup
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(1, 200, (n,)).astype(np.int32)
+                   for n in (5, 9, 7)]
+
+        dense = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=2,
+                                         max_len=48, dtype=jnp.float32,
+                                         kv_layout="dense")
+        packed = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=2,
+                                          max_len=48, dtype=jnp.float32,
+                                          kv_layout="packed",
+                                          attn_interpret=True)
+        ids_d = [dense.submit(p, max_new_tokens=6) for p in prompts]
+        ids_p = [packed.submit(p, max_new_tokens=6) for p in prompts]
+        fin_d = dense.run_until_done()
+        fin_p = packed.run_until_done()
+        for rd, rp in zip(ids_d, ids_p):
+            np.testing.assert_array_equal(
+                np.asarray(fin_p[rp].generated),
+                np.asarray(fin_d[rd].generated))
