@@ -2,8 +2,11 @@
 
 from .mesh import (
     batch_sharding,
+    infer_param_specs,
+    kv_cache_sharding,
     make_mesh,
     replicated,
+    shard_infer_params,
     shard_params,
     sp_param_specs,
 )
@@ -17,7 +20,10 @@ from .ring_attention import ring_attention
 
 __all__ = [
     "batch_sharding",
+    "infer_param_specs",
+    "kv_cache_sharding",
     "make_mesh",
+    "shard_infer_params",
     "replicated",
     "shard_params",
     "sp_param_specs",

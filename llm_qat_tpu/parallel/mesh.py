@@ -103,6 +103,73 @@ def shard_params(params, mesh: Mesh, per_channel: bool = True):
     return jax.device_put(params, shardings), shardings
 
 
+def _infer_linear_spec(linear_name: str, leaf_name: str) -> P:
+    """Specs for one linear of the INFERENCE tree (`quantize_for_inference`):
+    same Megatron layout as `_linear_spec`, adapted to the serving leaves
+    (int8 codes + per-out-channel scales, factored/folded LoRA, static
+    activation scales)."""
+    col = linear_name in _COL_LINEAR
+    if leaf_name in ("w_q", "w_i8", "w_int8", "lora_AB"):  # (L, in, out)
+        return P(None, None, "model") if col else P(None, "model", None)
+    if leaf_name == "b":  # (L, out)
+        return P(None, "model") if col else P(None)
+    if leaf_name == "w_s":  # (L, out) per-channel or (L,)/(L, 1) per-tensor
+        return P(None, "model") if col else P(None)
+    if leaf_name in ("iq_scale", "iq_zp"):  # (L, in) or (L,)
+        return P(None, "model") if not col else P(None)
+    if leaf_name == "lora_A":  # (L, in, r)
+        return P(None) if col else P(None, "model", None)
+    if leaf_name == "lora_B":  # (L, r, out)
+        return P(None, None, "model") if col else P(None)
+    return P(None)  # x_s and other scalars replicated
+
+
+def infer_param_specs(iparams, per_channel: bool = True) -> Any:
+    """PartitionSpec pytree for a `quantize_for_inference` tree (TP decode).
+
+    The reference cannot serve multi-GPU at all (SURVEY.md §2.8); here the
+    pre-quantized serving weights shard exactly like the training banks —
+    int8 codes column/row-parallel with their scale vectors on the same
+    channel axis — and GSPMD inserts the psum after each row-parallel
+    projection. Per-tensor leaves ((L,)/(L, 1) scales) stay replicated.
+    """
+
+    def f(path, leaf):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if np.ndim(leaf) == 0:  # _bits/_kind scalars
+            return P()
+        if keys[0] in ("wte", "head_i8"):  # (V, d): vocab-parallel head
+            return P("model", None)
+        if keys[0] == "head_s":  # (V,)
+            return P("model")
+        if keys[0] == "blocks" and len(keys) >= 3:
+            spec = _infer_linear_spec(keys[1], keys[2])
+            # per-tensor scale/zp vectors are 1-D/(L,1): drop the channel
+            # sharding the per-channel layout would use
+            if len(spec) > np.ndim(leaf) or (
+                    np.ndim(leaf) >= 2 and leaf.shape[-1] == 1):
+                return P(None)
+            return spec
+        return P(None)
+
+    return jax.tree_util.tree_map_with_path(f, iparams)
+
+
+def shard_infer_params(iparams, mesh: Mesh, per_channel: bool = True):
+    """Place a serving tree on the mesh with TP shardings."""
+    specs = infer_param_specs(iparams, per_channel)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(iparams, shardings), shardings
+
+
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    """KV caches (B, H, T, D) — or packed (B, H, T/P, P·D) — shard batch
+    over "data" and heads over "model" (each chip holds its heads' cache;
+    attention is fully local, SURVEY.md §2.8 'KV cache tensor-sharded')."""
+    return NamedSharding(mesh, P("data", "model", None, None))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Input batch (B, T) shards over the data axis."""
     return NamedSharding(mesh, P("data", None))

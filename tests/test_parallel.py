@@ -166,3 +166,74 @@ class TestContextParallelForward:
                                           tables=tables)
         got = np.asarray(out["logits"])
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+class TestTPDecode:
+    """Tensor-parallel serving decode (SURVEY.md §2.8 'multi-host decode with
+    sharded KV cache'): the pre-quantized int8 tree sharded Megatron-style,
+    KV caches sharded over heads, GSPMD collectives — logits match the
+    single-device decode."""
+
+    def test_tp_decode_matches_single_device(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from llm_qat_tpu.models import (GPT2Config, QuantConfig,
+                                        SPModelConfig, init_sp_params)
+        from llm_qat_tpu.models.inference import (infer_forward_unrolled,
+                                                  init_layer_caches,
+                                                  quantize_for_inference)
+        from llm_qat_tpu.parallel import (batch_sharding, kv_cache_sharding,
+                                          make_mesh, shard_infer_params)
+        from llm_qat_tpu.train import CalibrationManager
+
+        rng = np.random.default_rng(0)
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=512, n_positions=64, n_embd=64,
+                             n_layer=2, n_head=4),
+            quant=QuantConfig(bit_widths=(4, 8, 32),
+                              quantizer_per_bit={8: "minmax"},
+                              per_channel=False,
+                              lora_rank_per_bit={b: 4 for b in range(2, 17)}
+                              | {32: 0},
+                              lora_alpha_per_bit={b: 8 for b in range(2, 17)}
+                              | {32: 0}))
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        batches = [jnp.asarray(rng.integers(0, 512, (2, 16)))
+                   for _ in range(2)]
+        params = CalibrationManager(cfg, 2).calibrate_all_precisions(
+            params, batches)
+        ip = quantize_for_inference(params, cfg, 8, jnp.float32,
+                                    weight_format="int8_xla",
+                                    lm_head_int8=True)
+        static = ip.pop("_static")
+        ids = batches[0][:, :8]
+
+        # single-device reference
+        caches = init_layer_caches(cfg, 2, 16, jnp.float32)
+        want, cref, _ = infer_forward_unrolled(ip, ids, cfg, caches,
+                                               jnp.int32(0), static=static)
+        tok = jnp.argmax(want[:, -1:], axis=-1)
+        want2, _, _ = infer_forward_unrolled(ip, tok, cfg, cref, jnp.int32(8),
+                                             static=static)
+
+        # 2x4 (data x model) mesh: heads + channels sharded
+        mesh = make_mesh(n_data=2, n_model=4)
+        ip_sh, _ = shard_infer_params(ip, mesh, per_channel=False)
+        caches_sh = jax.device_put(
+            init_layer_caches(cfg, 2, 16, jnp.float32),
+            kv_cache_sharding(mesh))
+        ids_sh = jax.device_put(ids, batch_sharding(mesh))
+
+        @jax.jit
+        def fwd(ip, ids, caches, length):
+            return infer_forward_unrolled(ip, ids, cfg, caches, length,
+                                          static=static)
+
+        got, csh, _ = fwd(ip_sh, ids_sh, caches_sh, jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        tok_sh = jnp.argmax(got[:, -1:], axis=-1)
+        got2, _, _ = fwd(ip_sh, tok_sh, csh, jnp.int32(8))
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=1e-4, atol=1e-4)
