@@ -16,6 +16,7 @@ from .multihost import (
     make_global_batch,
 )
 from .cp_forward import sp_forward_context_parallel
+from .pipeline import pipeline_sp_forward, pp_param_specs, shard_params_pp
 from .ring_attention import ring_attention
 
 __all__ = [
@@ -27,7 +28,10 @@ __all__ = [
     "replicated",
     "shard_params",
     "sp_param_specs",
+    "pipeline_sp_forward",
+    "pp_param_specs",
     "ring_attention",
+    "shard_params_pp",
     "sp_forward_context_parallel",
     "host_local_batch_slice",
     "initialize_multihost",

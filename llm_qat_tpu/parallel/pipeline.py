@@ -1,0 +1,183 @@
+"""GPipe-style pipeline parallelism over a `pipe` mesh axis.
+
+The reference has no distributed layer at all (SURVEY.md §2.8 — PP row:
+"absent"); this module supplies the pipeline-parallel strategy as a
+first-class TPU mechanism. The SP model already stores its blocks stacked
+on a leading layer axis (`models/sp_model.py::init_sp_params`), so pipeline
+parallelism is a natural SPMD program: shard the layer axis over a `pipe`
+mesh axis (L/S contiguous blocks per stage), split the batch into M
+microbatches, and run the classic GPipe schedule as a `lax.scan` over
+M + S - 1 ticks in which every stage applies its local blocks to its
+current microbatch and `lax.ppermute` rotates activations to the next
+stage over ICI. Stage 0 injects a fresh microbatch each tick; the last
+stage's results are accumulated and broadcast with a masked `psum`.
+
+Everything is differentiable (ppermute/scan have transposes), so the same
+schedule serves training: gradients w.r.t. the blocks come back sharded
+over `pipe` exactly like the parameters. Composes with data parallelism by
+sharding the microbatch batch dim over a `data` axis (`batch_axis_name`).
+
+Numerics match the single-device `sp_forward` exactly (tested on the
+virtual 8-device CPU mesh, forward and grad).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.sp_model import (
+    PrecTables,
+    lm_cross_entropy,
+    prec_tables,
+    sp_block,
+    switchable_layernorm,
+)
+
+
+def pp_param_specs(params) -> Any:
+    """PartitionSpecs placing the stacked block banks over the `pipe` axis.
+
+    Every `blocks` leaf has a leading n_layer axis (see `init_sp_params`);
+    that axis shards over "pipe" so each stage holds only its own L/S
+    blocks' weights, quantizer scale tables, LoRA banks, and LN banks.
+    Embeddings / ln_f stay replicated (they run outside the pipelined
+    middle).
+    """
+
+    def f(path, leaf):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if keys and keys[0] == "blocks":
+            return P("pipe")
+        return P(None)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def shard_params_pp(params, mesh: Mesh):
+    """Place an SP params pytree on a mesh with a `pipe` axis."""
+    specs = pp_param_specs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings), shardings
+
+
+def _pipeline_local(local_blocks, x_mb, prec, *, tables, cfg, n_stages,
+                    axis_name, calibration_mode):
+    """Per-stage body under shard_map.
+
+    local_blocks: this stage's (L/S, ...) block banks.
+    x_mb: (M, b, T, d) microbatched embeddings (replicated over `pipe`).
+    Returns (M, b, T, d) transformer outputs, replicated over `pipe`.
+    """
+    S = n_stages
+    M = x_mb.shape[0]
+    stage = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def stage_fn(x):
+        def body(c, bp):
+            out = sp_block(c, bp, prec, tables, cfg,
+                           calibration_mode=calibration_mode)[0]
+            return out, None
+
+        return jax.lax.scan(body, x, local_blocks)[0]
+
+    # derive the zero-init carries from x_mb so their device-varying type
+    # matches under shard_map's manual-axes tracking
+    state = x_mb[0] * 0.0
+    outputs = x_mb * 0.0
+
+    def tick(carry, t):
+        state, outputs = carry
+        inp = jax.lax.dynamic_index_in_dim(x_mb, t % M, 0, keepdims=False)
+        x = jnp.where(stage == 0, inp, state)
+        y = stage_fn(x)
+        # the last stage finished microbatch t-(S-1) this tick
+        idx = (t - (S - 1)) % M
+        is_out = jnp.logical_and(stage == S - 1, t >= S - 1)
+        prev = jax.lax.dynamic_index_in_dim(outputs, idx, 0, keepdims=False)
+        outputs = jax.lax.dynamic_update_index_in_dim(
+            outputs, jnp.where(is_out, y, prev), idx, 0)
+        state = jax.lax.ppermute(y, axis_name, perm)
+        return (state, outputs), None
+
+    (_, outputs), _ = jax.lax.scan(
+        tick, (state, outputs), jnp.arange(M + S - 1))
+
+    # results live on the last stage; masked psum replicates them
+    return jax.lax.psum(
+        jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)),
+        axis_name)
+
+
+def pipeline_sp_forward(
+    params,
+    input_ids,
+    prec,
+    cfg,
+    mesh: Mesh,
+    *,
+    n_microbatches: Optional[int] = None,
+    tables: Optional[PrecTables] = None,
+    labels=None,
+    axis_name: str = "pipe",
+    batch_axis_name: Optional[str] = None,
+    calibration_mode: bool = False,
+) -> Dict[str, Any]:
+    """SP GPT-2 forward with the blocks pipeline-parallel over `axis_name`.
+
+    Semantically identical to `sp_forward` (reference `SPLMHeadModel.forward`,
+    `part1_switchable_precision/models_sp.py:423-458`): embeddings →
+    pipelined blocks → ln_f → weight-tied logits → optional shifted CE.
+    `n_layer` must divide into the stage count; the batch must divide into
+    `n_microbatches` (default: one per stage). Pass `batch_axis_name` to
+    additionally shard the microbatch batch dim over a data axis (DP x PP).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    S = mesh.shape[axis_name]
+    m = cfg.model
+    L = m.n_layer
+    if L % S != 0:
+        raise ValueError(f"n_layer={L} not divisible by {S} pipeline stages")
+    M = n_microbatches if n_microbatches is not None else S
+    B, T = input_ids.shape
+    if B % M != 0:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    if tables is None:
+        tables = prec_tables(cfg.quant)
+    prec = jnp.asarray(prec, jnp.int32)
+
+    tok = params["wte"][input_ids]
+    pos = params["wpe"][:T][None]
+    h = tok + pos
+    h_mb = h.reshape(M, B // M, T, m.n_embd)
+
+    mb_spec = P(None, batch_axis_name, None, None)
+    body = functools.partial(
+        _pipeline_local, tables=tables, cfg=cfg, n_stages=S,
+        axis_name=axis_name, calibration_mode=calibration_mode)
+    kwargs = dict(mesh=mesh, in_specs=(P(axis_name), mb_spec, P()),
+                  out_specs=mb_spec)
+    try:
+        # replication of the output over `pipe` is established manually by
+        # the masked psum; disable the static replication check
+        fn = shard_map(body, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        fn = shard_map(body, check_rep=False, **kwargs)
+    out_mb = fn(params["blocks"], h_mb, prec)
+
+    h = out_mb.reshape(B, T, m.n_embd)
+    h = switchable_layernorm(h, params["ln_f"], prec, m.layer_norm_epsilon)
+    logits = jnp.dot(h, params["wte"].T.astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+
+    out = {"logits": logits, "trunk": h}
+    if labels is not None:
+        out["loss"] = lm_cross_entropy(logits, labels)
+    return out

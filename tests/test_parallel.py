@@ -168,6 +168,118 @@ class TestContextParallelForward:
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+class TestPipelineParallel:
+    """GPipe-style PP over a `pipe` mesh axis (SURVEY.md §2.8 PP row):
+    numerics must match the single-device forward, gradients must flow,
+    and it must compose with DP."""
+
+    @pytest.fixture(scope="class")
+    def pp_setup(self):
+        from llm_qat_tpu.models import GPT2Config, QuantConfig, SPModelConfig
+
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=256, n_positions=32, n_embd=32,
+                             n_layer=4, n_head=2),
+            quant=QuantConfig(
+                bit_widths=(4, 32),
+                lora_rank_per_bit={b: 4 for b in range(2, 17)} | {32: 0},
+                lora_alpha_per_bit={b: 8 for b in range(2, 17)} | {32: 0},
+            ),
+        )
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        batch = jnp.asarray(rng.integers(0, 256, (8, 16)))
+        params = CalibrationManager(cfg, 1).calibrate_all_precisions(
+            params, [batch])
+        return cfg, params, batch
+
+    def test_pp_forward_matches_single_device(self, pp_setup):
+        from jax.sharding import Mesh
+        from llm_qat_tpu.parallel import pipeline_sp_forward, shard_params_pp
+
+        cfg, params, ids = pp_setup
+        tables = prec_tables(cfg.quant)
+        want = np.asarray(sp_forward(params, ids, 0, cfg, tables=tables,
+                                     labels=ids)["loss"])
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "pipe"))
+        sharded, _ = shard_params_pp(params, mesh)
+        out = pipeline_sp_forward(sharded, ids, 0, cfg, mesh,
+                                  tables=tables, labels=ids)
+        got_logits = np.asarray(out["logits"])
+        ref_logits = np.asarray(
+            sp_forward(params, ids, 0, cfg, tables=tables)["logits"])
+        np.testing.assert_allclose(got_logits, ref_logits,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(float(out["loss"]), float(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pp_more_microbatches_than_stages(self, pp_setup):
+        from jax.sharding import Mesh
+        from llm_qat_tpu.parallel import pipeline_sp_forward, shard_params_pp
+
+        cfg, params, ids = pp_setup
+        tables = prec_tables(cfg.quant)
+        ref_logits = np.asarray(
+            sp_forward(params, ids, 0, cfg, tables=tables)["logits"])
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "pipe"))
+        sharded, _ = shard_params_pp(params, mesh)
+        out = pipeline_sp_forward(sharded, ids, 0, cfg, mesh,
+                                  n_microbatches=8, tables=tables)
+        np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_pp_grads_match_single_device(self, pp_setup):
+        from jax.sharding import Mesh
+        from llm_qat_tpu.parallel import pipeline_sp_forward, shard_params_pp
+
+        cfg, params, ids = pp_setup
+        tables = prec_tables(cfg.quant)
+
+        def loss_single(p):
+            return sp_forward(p, ids, 0, cfg, tables=tables, labels=ids)["loss"]
+
+        want = jax.grad(loss_single)(params)
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "pipe"))
+        sharded, _ = shard_params_pp(params, mesh)
+
+        def loss_pp(p):
+            return pipeline_sp_forward(p, ids, 0, cfg, mesh, tables=tables,
+                                       labels=ids)["loss"]
+
+        got = jax.jit(jax.grad(loss_pp))(sharded)
+        for name in ("wte", "wpe"):
+            np.testing.assert_allclose(np.asarray(got[name]),
+                                       np.asarray(want[name]),
+                                       rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(got["blocks"]["c_attn"]["lora_B"]),
+            np.asarray(want["blocks"]["c_attn"]["lora_B"]),
+            rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(got["blocks"]["mlp_proj"]["w"]),
+            np.asarray(want["blocks"]["mlp_proj"]["w"]),
+            rtol=5e-4, atol=5e-4)
+
+    def test_pp_dp_batch_sharded(self, pp_setup):
+        """Batch dim sharded over `data` while layers pipeline over `pipe`."""
+        from jax.sharding import Mesh, NamedSharding
+        from llm_qat_tpu.parallel import pipeline_sp_forward, shard_params_pp
+
+        cfg, params, ids = pp_setup
+        tables = prec_tables(cfg.quant)
+        ref_logits = np.asarray(
+            sp_forward(params, ids, 0, cfg, tables=tables)["logits"])
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "pipe"))
+        sharded, _ = shard_params_pp(params, mesh)
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+        out = pipeline_sp_forward(sharded, ids_sh, 0, cfg, mesh,
+                                  tables=tables, batch_axis_name="data")
+        np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                                   rtol=2e-4, atol=2e-4)
+
+
 class TestTPDecode:
     """Tensor-parallel serving decode (SURVEY.md §2.8 'multi-host decode with
     sharded KV cache'): the pre-quantized int8 tree sharded Megatron-style,
