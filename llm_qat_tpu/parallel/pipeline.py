@@ -131,14 +131,26 @@ def pipeline_sp_forward(
 ) -> Dict[str, Any]:
     """SP GPT-2 forward with the blocks pipeline-parallel over `axis_name`.
 
-    Semantically identical to `sp_forward` (reference `SPLMHeadModel.forward`,
-    `part1_switchable_precision/models_sp.py:423-458`): embeddings →
-    pipelined blocks → ln_f → weight-tied logits → optional shifted CE.
+    Matches `sp_forward`'s deterministic forward/training path (reference
+    `SPLMHeadModel.forward`, `part1_switchable_precision/models_sp.py:423-458`):
+    embeddings → pipelined blocks → ln_f → weight-tied logits → optional
+    shifted CE. Only this subset of `sp_forward`'s options is supported:
+    `calibration_mode` and `labels`. Attention masks, dropout/`deterministic`,
+    `remat`, and `collect_stats` are not plumbed through — passing them
+    raises a TypeError rather than producing wrong numerics.
+
     `n_layer` must divide into the stage count; the batch must divide into
     `n_microbatches` (default: one per stage). Pass `batch_axis_name` to
     additionally shard the microbatch batch dim over a data axis (DP x PP).
+    If the mesh has extra axes beyond `axis_name` and `batch_axis_name` is
+    None, activations are fully replicated over those axes: numerics stay
+    correct but every device along them redundantly computes the whole
+    batch (a warning is emitted).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     S = mesh.shape[axis_name]
     m = cfg.model
@@ -146,9 +158,21 @@ def pipeline_sp_forward(
     if L % S != 0:
         raise ValueError(f"n_layer={L} not divisible by {S} pipeline stages")
     M = n_microbatches if n_microbatches is not None else S
+    if M < 1:
+        raise ValueError(f"n_microbatches must be >= 1, got {M}")
     B, T = input_ids.shape
     if B % M != 0:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    extra_axes = [a for a in mesh.axis_names
+                  if a != axis_name and mesh.shape[a] > 1]
+    if batch_axis_name is None and extra_axes:
+        import warnings
+        warnings.warn(
+            f"mesh has non-pipe axes {extra_axes} but batch_axis_name is "
+            "None: activations replicate over them and every device along "
+            "those axes redundantly computes the full batch; pass "
+            "batch_axis_name to shard the microbatch batch dim",
+            stacklevel=2)
     if tables is None:
         tables = prec_tables(cfg.quant)
     prec = jnp.asarray(prec, jnp.int32)

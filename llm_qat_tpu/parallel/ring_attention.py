@@ -83,7 +83,10 @@ def ring_attention(q, k, v, mesh: Mesh, axis_name: str = "data"):
     q,k,v: (B, H, T, D) with T divisible by the axis size. Returns the same
     shape, numerically equal to dense causal attention.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     spec = P(None, None, axis_name, None)
     fn = shard_map(
