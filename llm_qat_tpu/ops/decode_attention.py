@@ -156,35 +156,131 @@ def decode_attention(q, k_new, v_new, k_cache, v_cache, pos, *,
             vc.reshape(B, H, T, D))
 
 
-def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
+def _hbm_kernel(pos_ref, q_ref, qm_ref, kn_ref, vn_ref, kc_in, vc_in,
                 o_ref, kc, vc, kbuf, vbuf, rmwk, rmwv, sem, rsem,
                 *, sm_scale, tbp, D, P):
     """Single program, whole batch, PACKED caches: (BH, T/P, P*D) — P
     timesteps share one 128-lane row (P = 128 // head_dim), so the HBM
     layout is unpadded (Mosaic tile-pads a <128-lane minor dim to 128,
     silently multiplying cache capacity AND traffic in the standard
-    (…, T, D) layout). Caches stay HBM-resident (`pltpu.ANY`): the new row
-    is appended by a read-modify-write of its aligned 8-sublane group
-    (~0.2 MB), then attention streams the live prefix through VMEM in
-    `tbp`-packed-row blocks with double buffering, looping only to the
-    block containing `pos` — traffic is ~1x the LIVE prefix instead of
-    XLA's ~3x full-T_max (dynamic_update_slice copy read+write + attend
-    read). Online softmax accumulates across blocks; the P timesteps of a
-    row live in lane groups [i*D, (i+1)*D)."""
+    (…, T, D) layout). Caches stay HBM-resident (`pltpu.ANY`); attention
+    streams the live prefix through VMEM in `tbp`-packed-row blocks with
+    double buffering — traffic is ~1x the LIVE prefix instead of XLA's
+    ~3x full-T_max (dynamic_update_slice copy read+write + attend read).
+
+    Scores and the weighted-V accumulation run on the MXU in the cache
+    dtype (one dot_general each per block, against a lane-group-masked q
+    matrix built once) — the VPU lane-masked reductions of the first
+    version cost ~2.5x the streamed traffic in compute time. The new
+    token's K/V never round-trip through HBM: streamed blocks mask
+    strictly `t < pos`, its score/value merge into the online softmax
+    from VMEM at the end, and the append RMW (read of the aligned
+    8-sublane group, modify, write-back) overlaps the streaming — only
+    its read is issued up front, the write happens after the last block
+    is consumed. A streamed read of the group being rewritten can see
+    old or new bytes; both differ only in the strictly-masked new row."""
     del kc_in, vc_in  # aliased to kc/vc outputs
     pos = pos_ref[0]
     BH = q_ref.shape[0]
     PD = P * D
+    cdt = kbuf.dtype
     pp = _idiv(pos, P)  # packed-row index of the new position
     part = _irem(pos, P)
 
-    # 1. append new K/V rows: RMW the aligned (BH, 8, P*D) sublane group
+    # 1. kick off the append RMW *read*; modify+write happen after the
+    # streamed attention (streamed blocks never need the appended row).
     grp8 = pl.multiple_of(_idiv(pp, 8) * 8, 8)
     sub = _irem(pp, 8)
     rk = pltpu.make_async_copy(kc.at[:, pl.ds(grp8, 8)], rmwk, rsem.at[0])
     rv = pltpu.make_async_copy(vc.at[:, pl.ds(grp8, 8)], rmwv, rsem.at[1])
     rk.start()
     rv.start()
+
+    # blocks cover timesteps [0, pos) strictly: every streamed block has
+    # at least one unmasked element (keeps the online-softmax exp finite)
+    nblk = _idiv(pos + P * tbp - 1, P * tbp)
+
+    def get_dma(slot, j):
+        off = pl.multiple_of(j * tbp, tbp)
+        return (
+            pltpu.make_async_copy(kc.at[:, pl.ds(off, tbp)],
+                                  kbuf.at[slot], sem.at[0, slot]),
+            pltpu.make_async_copy(vc.at[:, pl.ds(off, tbp)],
+                                  vbuf.at[slot], sem.at[1, slot]),
+        )
+
+    @pl.when(nblk > 0)
+    def _():
+        k0, v0 = get_dma(0, 0)
+        k0.start()
+        v0.start()
+
+    # Qm (BH, P, PD): row i holds sm_scale·q in lane-group i, zero
+    # elsewhere — built by the wrapper in XLA (a fused broadcast+mask).
+    q = q_ref[:].astype(jnp.float32) * sm_scale  # (BH, 1, D)
+    Qm = qm_ref[:]  # (BH, P, PD) cache dtype
+    # f32 caches (tests / quality mode) need the 6-pass MXU f32 path —
+    # the default one-pass bf16 dot loses ~1e-3; bf16 caches are exact
+    # at DEFAULT (bf16 multiply, f32 accumulate).
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = _irem(j, 2)
+
+        @pl.when(j + 1 < nblk)
+        def _():
+            kn_, vn_ = get_dma(_irem(j + 1, 2), j + 1)
+            kn_.start()
+            vn_.start()
+
+        kj, vj = get_dma(slot, j)
+        kj.wait()
+        vj.wait()
+        kb = kbuf[slot]  # (BH, tbp, P*D) cache dtype
+        # scores live as (BH, P, tbp) — tbp on lanes; the (…, tbp, P)
+        # orientation lane-pads P=2 to 128 and blows the VMEM stack
+        s = jax.lax.dot_general(  # MXU
+            Qm, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (1, P, tbp), 1)
+        u2 = jax.lax.broadcasted_iota(jnp.int32, (1, P, tbp), 2) + j * tbp
+        s = _sel(u2 * P + i2 < pos, s, NEG_INF)
+        blk_max = jnp.max(jnp.max(s, axis=2), axis=1, keepdims=True)
+        m_new = jnp.maximum(m, blk_max)  # (BH, 1)
+        pbl = jnp.exp(s - m_new[:, :, None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(jnp.sum(pbl, axis=2), axis=1,
+                                   keepdims=True)
+        vb = vbuf[slot]
+        pv = jax.lax.dot_general(  # MXU: (BH, P, P*D) weighted V
+            pbl.astype(cdt), vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        acc_new = acc * corr[:, :, None] + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((BH, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BH, 1), jnp.float32)
+    a0 = jnp.zeros((BH, P, PD), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+
+    # merge the new token from VMEM (its stored-dtype K/V, never streamed)
+    kn = kn_ref[:].astype(jnp.float32)  # (BH, 1, D)
+    s_new = jnp.sum(q * kn, axis=-1)  # (BH, 1); q is pre-scaled
+    m_f = jnp.maximum(m, s_new)
+    corr = jnp.exp(m - m_f)
+    p_new = jnp.exp(s_new - m_f)
+    l_f = l * corr + p_new
+    out = acc[:, 0, :D]
+    for i in range(1, P):
+        out = out + acc[:, i, i * D:(i + 1) * D]
+    out = (out * corr
+           + p_new * vn_ref[:][:, 0].astype(jnp.float32))
+    out = out / jnp.maximum(l_f, 1e-30)
+    o_ref[:] = out[:, None, :].astype(o_ref.dtype)
+
+    # 2. complete the overlapped append RMW
     rk.wait()
     rv.wait()
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 1)
@@ -202,74 +298,6 @@ def _hbm_kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in,
     wv.start()
     wk.wait()
     wv.wait()
-
-    nblk = _idiv(pp, tbp) + 1  # tbp-packed-row blocks over rows [0, pos]
-
-    def get_dma(slot, j):
-        off = pl.multiple_of(j * tbp, tbp)
-        return (
-            pltpu.make_async_copy(kc.at[:, pl.ds(off, tbp)],
-                                  kbuf.at[slot], sem.at[0, slot]),
-            pltpu.make_async_copy(vc.at[:, pl.ds(off, tbp)],
-                                  vbuf.at[slot], sem.at[1, slot]),
-        )
-
-    k0, v0 = get_dma(0, 0)
-    k0.start()
-    v0.start()
-
-    q = q_ref[:].astype(jnp.float32) * sm_scale  # (BH, 1, D)
-    qP = jnp.concatenate([q] * P, axis=-1)  # (BH, 1, P*D)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PD), 2)
-    part3 = jnp.minimum(_idiv(lane3, jnp.full_like(lane3, D)), P - 1)
-
-    def body(j, carry):
-        m, l, acc = carry
-        slot = _irem(j, 2)
-
-        @pl.when(j + 1 < nblk)
-        def _():
-            kn_, vn_ = get_dma(_irem(j + 1, 2), j + 1)
-            kn_.start()
-            vn_.start()
-
-        kj, vj = get_dma(slot, j)
-        kj.wait()
-        vj.wait()
-        kb = kbuf[slot].astype(jnp.float32)  # (BH, tbp, P*D)
-        prod = qP * kb
-        u = jax.lax.broadcasted_iota(jnp.int32, (BH, tbp), 1) + j * tbp
-        # per-part masked score reductions + online-softmax update
-        s_parts = []
-        for i in range(P):
-            s_i = jnp.sum(_sel(part3 == i, prod, 0.0), axis=-1)  # (BH, tbp)
-            s_i = _sel(P * u + i <= pos, s_i, NEG_INF)
-            s_parts.append(s_i)
-        blk_max = s_parts[0].max(axis=-1, keepdims=True)
-        for s_i in s_parts[1:]:
-            blk_max = jnp.maximum(blk_max, s_i.max(axis=-1, keepdims=True))
-        m_new = jnp.maximum(m, blk_max)
-        p_parts = [jnp.exp(s_i - m_new) for s_i in s_parts]
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr
-        for p_i in p_parts:
-            l_new = l_new + jnp.sum(p_i, axis=-1, keepdims=True)
-        vb = vbuf[slot].astype(jnp.float32)  # (BH, tbp, P*D)
-        w = p_parts[0][..., None]
-        for i in range(1, P):
-            w = _sel(part3 == i, p_parts[i][..., None], w)
-        acc_new = acc * corr + jnp.sum(w * vb, axis=1)  # (BH, P*D)
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((BH, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((BH, 1), jnp.float32)
-    a0 = jnp.zeros((BH, PD), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
-    out = acc[:, :D]
-    for i in range(1, P):
-        out = out + acc[:, i * D:(i + 1) * D]
-    out = out / jnp.maximum(l, 1e-30)
-    o_ref[:] = out[:, None, :].astype(o_ref.dtype)
 
 
 def kv_pack_factor(head_dim: int) -> int:
@@ -295,7 +323,7 @@ def unpack_kv(x, head_dim: int = 64):
 
 
 def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
-                         tbp: int = 64, interpret: bool = False):
+                         tbp: int = 32, interpret: bool = False):
     """Length-aware fused decode attention with HBM-resident PACKED caches.
 
     q/k_new/v_new: (B, H, 1, D); k_cache/v_cache PACKED (B, H, T/P, P*D)
@@ -321,10 +349,20 @@ def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
     cdt = k_cache.dtype
     pos1 = jnp.asarray(pos, jnp.int32).reshape(1)
 
+    # Qm (BH, P, PD): row i = sm_scale·q in lane-group i, zero elsewhere.
+    # Built here (XLA fuses the broadcast+mask) so the kernel's score
+    # dot_general needs no in-kernel transpose or select.
+    qf = q.reshape(BH, 1, D).astype(jnp.float32) * sm_scale
+    qP = jnp.concatenate([qf] * P, axis=-1)  # (BH, 1, PD)
+    grp = jnp.minimum(jnp.arange(P * D) // D, P - 1)
+    gsel = grp[None, None, :] == jnp.arange(P)[None, :, None]
+    qm = jnp.where(gsel, qP, 0.0).astype(cdt)  # (BH, P, PD)
+
     out, kc, vc = pl.pallas_call(
         functools.partial(_hbm_kernel, sm_scale=sm_scale, tbp=tbp, D=D, P=P),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -349,9 +387,10 @@ def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        input_output_aliases={4: 1, 5: 2},
+        input_output_aliases={5: 1, 6: 2},
         interpret=interpret,
-    )(pos1, q.reshape(BH, 1, D), k_new.astype(cdt).reshape(BH, 1, D),
+    )(pos1, q.reshape(BH, 1, D), qm,
+      k_new.astype(cdt).reshape(BH, 1, D),
       v_new.astype(cdt).reshape(BH, 1, D),
       k_cache.reshape(BH, Tp, P * D), v_cache.reshape(BH, Tp, P * D))
 
@@ -359,7 +398,7 @@ def decode_attention_hbm(q, k_new, v_new, k_cache, v_cache, pos, *,
             vc.reshape(B, H, Tp, P * D))
 
 
-def _hbm_kernel_multi(pos_ref, maxpos_ref, q_ref, kn_ref, vn_ref,
+def _hbm_kernel_multi(pos_ref, maxpos_ref, q_ref, qm_ref, kn_ref, vn_ref,
                       posv_ref, kc_in, vc_in,
                       o_ref, kc, vc, kbuf, vbuf, rmwk, rmwv, sem, rsem,
                       *, sm_scale, tbp, D, P, H):
@@ -368,50 +407,46 @@ def _hbm_kernel_multi(pos_ref, maxpos_ref, q_ref, kn_ref, vn_ref,
     pos_ref: (B,) SMEM per-slot positions, -1 = inactive slot (no cache
     write; its output lane is finite garbage the host ignores).
     maxpos_ref: (1,) SMEM max(pos) — sets the streamed block count.
-    posv_ref: (BH, 1) VMEM copy of positions for the vector masks."""
+    posv_ref: (BH, 1) VMEM copy of positions for the vector masks.
+
+    Same structure as `_hbm_kernel`: MXU score/V dots in the cache dtype,
+    streamed blocks mask strictly `t < pos[slot]`, the new token merges
+    from VMEM, and the per-slot append RMWs overlap the streaming — all
+    active slots' group reads are issued up front (per-slot buffers and
+    semaphores), the modify+write-back happens after the last block.
+
+    A slot whose live prefix is empty (pos <= 0) accumulates exp(0)
+    garbage in blocks it fully masks (its row max stays NEG_INF), but
+    the final merge's exp(m - m_f) correction is exactly 0 for such
+    rows, so active pos==0 slots still return exactly v_new."""
     del kc_in, vc_in  # aliased to kc/vc outputs
     BH = q_ref.shape[0]
     B = BH // H
     PD = P * D
+    cdt = kbuf.dtype
 
-    # 1. per-slot append: RMW each active slot's aligned sublane group
+    # 1. kick off every active slot's append-RMW *read*
+    reads = []
     for b in range(B):
         pos_b = pos_ref[b]
+        pp = _idiv(pos_b, P)
+        grp8 = pl.multiple_of(_idiv(pp, 8) * 8, 8)
+        rk = pltpu.make_async_copy(
+            kc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rmwk.at[b],
+            rsem.at[b, 0])
+        rv = pltpu.make_async_copy(
+            vc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rmwv.at[b],
+            rsem.at[b, 1])
+        reads.append((rk, rv))
 
         @pl.when(pos_b >= 0)
-        def _(b=b, pos_b=pos_b):
-            pp = _idiv(pos_b, P)
-            part = _irem(pos_b, P)
-            grp8 = pl.multiple_of(_idiv(pp, 8) * 8, 8)
-            sub = _irem(pp, 8)
-            rk = pltpu.make_async_copy(
-                kc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rmwk, rsem.at[0])
-            rv = pltpu.make_async_copy(
-                vc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rmwv, rsem.at[1])
+        def _(rk=rk, rv=rv):
             rk.start()
             rv.start()
-            rk.wait()
-            rv.wait()
-            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 1)
-            lane_part = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 2)
-            lane_part = jnp.minimum(
-                _idiv(lane_part, jnp.full_like(lane_part, D)), P - 1)
-            sel = (sub_ids == sub) & (lane_part == part)
-            knP = jnp.concatenate([kn_ref[b * H:(b + 1) * H]] * P, axis=-1)
-            vnP = jnp.concatenate([vn_ref[b * H:(b + 1) * H]] * P, axis=-1)
-            rmwk[:] = _sel(sel, knP, rmwk[:])
-            rmwv[:] = _sel(sel, vnP, rmwv[:])
-            wk = pltpu.make_async_copy(
-                rmwk, kc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rsem.at[0])
-            wv = pltpu.make_async_copy(
-                rmwv, vc.at[pl.ds(b * H, H), pl.ds(grp8, 8)], rsem.at[1])
-            wk.start()
-            wv.start()
-            wk.wait()
-            wv.wait()
 
     max_pos = jnp.maximum(maxpos_ref[0], 0)
-    nblk = _idiv(_idiv(max_pos, P), tbp) + 1
+    # strict `t < pos` masking: blocks cover timesteps [0, max_pos)
+    nblk = _idiv(max_pos + P * tbp - 1, P * tbp)
 
     def get_dma(slot, j):
         off = pl.multiple_of(j * tbp, tbp)
@@ -422,15 +457,17 @@ def _hbm_kernel_multi(pos_ref, maxpos_ref, q_ref, kn_ref, vn_ref,
                                   vbuf.at[slot], sem.at[1, slot]),
         )
 
-    k0, v0 = get_dma(0, 0)
-    k0.start()
-    v0.start()
+    @pl.when(nblk > 0)
+    def _():
+        k0, v0 = get_dma(0, 0)
+        k0.start()
+        v0.start()
 
     q = q_ref[:].astype(jnp.float32) * sm_scale  # (BH, 1, D)
-    qP = jnp.concatenate([q] * P, axis=-1)  # (BH, 1, P*D)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PD), 2)
-    part3 = jnp.minimum(_idiv(lane3, jnp.full_like(lane3, D)), P - 1)
+    Qm = qm_ref[:]  # (BH, P, PD) cache dtype (wrapper-built)
     pos_col = posv_ref[:]  # (BH, 1) int32
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
     def body(j, carry):
         m, l, acc = carry
@@ -445,43 +482,83 @@ def _hbm_kernel_multi(pos_ref, maxpos_ref, q_ref, kn_ref, vn_ref,
         kj, vj = get_dma(slot, j)
         kj.wait()
         vj.wait()
-        kb = kbuf[slot].astype(jnp.float32)  # (BH, tbp, P*D)
-        prod = qP * kb
-        u = jax.lax.broadcasted_iota(jnp.int32, (BH, tbp), 1) + j * tbp
-        s_parts = []
-        for i in range(P):
-            s_i = jnp.sum(_sel(part3 == i, prod, 0.0), axis=-1)  # (BH, tbp)
-            s_i = _sel(P * u + i <= pos_col, s_i, NEG_INF)
-            s_parts.append(s_i)
-        blk_max = s_parts[0].max(axis=-1, keepdims=True)
-        for s_i in s_parts[1:]:
-            blk_max = jnp.maximum(blk_max, s_i.max(axis=-1, keepdims=True))
-        m_new = jnp.maximum(m, blk_max)
-        p_parts = [jnp.exp(s_i - m_new) for s_i in s_parts]
+        kb = kbuf[slot]  # (BH, tbp, P*D) cache dtype
+        s = jax.lax.dot_general(  # MXU: (BH, P, tbp)
+            Qm, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (1, P, tbp), 1)
+        u2 = jax.lax.broadcasted_iota(jnp.int32, (1, P, tbp), 2) + j * tbp
+        s = _sel(u2 * P + i2 < pos_col[:, :, None], s, NEG_INF)
+        blk_max = jnp.max(jnp.max(s, axis=2), axis=1, keepdims=True)
+        m_new = jnp.maximum(m, blk_max)  # (BH, 1)
+        pbl = jnp.exp(s - m_new[:, :, None])
         corr = jnp.exp(m - m_new)
-        l_new = l * corr
-        for p_i in p_parts:
-            l_new = l_new + jnp.sum(p_i, axis=-1, keepdims=True)
-        vb = vbuf[slot].astype(jnp.float32)
-        w = p_parts[0][..., None]
-        for i in range(1, P):
-            w = _sel(part3 == i, p_parts[i][..., None], w)
-        acc_new = acc * corr + jnp.sum(w * vb, axis=1)
+        l_new = l * corr + jnp.sum(jnp.sum(pbl, axis=2), axis=1,
+                                   keepdims=True)
+        vb = vbuf[slot]
+        pv = jax.lax.dot_general(  # MXU: (BH, P, P*D)
+            pbl.astype(cdt), vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        acc_new = acc * corr[:, :, None] + pv
         return m_new, l_new, acc_new
 
     m0 = jnp.full((BH, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BH, 1), jnp.float32)
-    a0 = jnp.zeros((BH, PD), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
-    out = acc[:, :D]
+    a0 = jnp.zeros((BH, P, PD), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+
+    # merge the new token from VMEM (identical for every slot; inactive
+    # slots produce finite garbage the host ignores)
+    kn = kn_ref[:].astype(jnp.float32)  # (BH, 1, D)
+    s_new = jnp.sum(q * kn, axis=-1)  # (BH, 1); q pre-scaled
+    m_f = jnp.maximum(m, s_new)
+    corr = jnp.exp(m - m_f)
+    p_new = jnp.exp(s_new - m_f)
+    l_f = l * corr + p_new
+    out = acc[:, 0, :D]
     for i in range(1, P):
-        out = out + acc[:, i * D:(i + 1) * D]
-    out = out / jnp.maximum(l, 1e-30)
+        out = out + acc[:, i, i * D:(i + 1) * D]
+    out = (out * corr
+           + p_new * vn_ref[:][:, 0].astype(jnp.float32))
+    out = out / jnp.maximum(l_f, 1e-30)
     o_ref[:] = out[:, None, :].astype(o_ref.dtype)
+
+    # 2. complete the overlapped per-slot append RMWs
+    for b in range(B):
+        pos_b = pos_ref[b]
+        rk, rv = reads[b]
+
+        @pl.when(pos_b >= 0)
+        def _(b=b, pos_b=pos_b, rk=rk, rv=rv):
+            pp = _idiv(pos_b, P)
+            part = _irem(pos_b, P)
+            grp8 = pl.multiple_of(_idiv(pp, 8) * 8, 8)
+            sub = _irem(pp, 8)
+            rk.wait()
+            rv.wait()
+            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 1)
+            lane_part = jax.lax.broadcasted_iota(jnp.int32, (1, 8, PD), 2)
+            lane_part = jnp.minimum(
+                _idiv(lane_part, jnp.full_like(lane_part, D)), P - 1)
+            sel = (sub_ids == sub) & (lane_part == part)
+            knP = jnp.concatenate([kn_ref[b * H:(b + 1) * H]] * P, axis=-1)
+            vnP = jnp.concatenate([vn_ref[b * H:(b + 1) * H]] * P, axis=-1)
+            rmwk[b] = _sel(sel, knP, rmwk[b])
+            rmwv[b] = _sel(sel, vnP, rmwv[b])
+            wk = pltpu.make_async_copy(
+                rmwk.at[b], kc.at[pl.ds(b * H, H), pl.ds(grp8, 8)],
+                rsem.at[b, 0])
+            wv = pltpu.make_async_copy(
+                rmwv.at[b], vc.at[pl.ds(b * H, H), pl.ds(grp8, 8)],
+                rsem.at[b, 1])
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
 
 
 def decode_attention_hbm_multi(q, k_new, v_new, k_cache, v_cache, pos, *,
-                               tbp: int = 64, interpret: bool = False):
+                               tbp: int = 32, interpret: bool = False):
     """Per-slot-position packed-cache decode attention (continuous batching).
 
     Same layout/traffic as `decode_attention_hbm`, but `pos` is (B,) int32
@@ -504,12 +581,20 @@ def decode_attention_hbm_multi(q, k_new, v_new, k_cache, v_cache, pos, *,
     maxpos = jnp.max(pos).reshape(1)
     pos_bh = jnp.repeat(pos, H).reshape(BH, 1)
 
+    # Qm (BH, P, PD): row i = sm_scale·q in lane-group i (see _hbm_kernel)
+    qf = q.reshape(BH, 1, D).astype(jnp.float32) * sm_scale
+    qP = jnp.concatenate([qf] * P, axis=-1)  # (BH, 1, PD)
+    grp = jnp.minimum(jnp.arange(P * D) // D, P - 1)
+    gsel = grp[None, None, :] == jnp.arange(P)[None, :, None]
+    qm = jnp.where(gsel, qP, 0.0).astype(cdt)  # (BH, P, PD)
+
     out, kc, vc = pl.pallas_call(
         functools.partial(_hbm_kernel_multi, sm_scale=sm_scale, tbp=tbp,
                           D=D, P=P, H=H),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -530,14 +615,15 @@ def decode_attention_hbm_multi(q, k_new, v_new, k_cache, v_cache, pos, *,
         scratch_shapes=[
             pltpu.VMEM((2, BH, tbp, P * D), cdt),
             pltpu.VMEM((2, BH, tbp, P * D), cdt),
-            pltpu.VMEM((H, 8, P * D), cdt),
-            pltpu.VMEM((H, 8, P * D), cdt),
+            pltpu.VMEM((B, H, 8, P * D), cdt),
+            pltpu.VMEM((B, H, 8, P * D), cdt),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((B, 2)),
         ],
-        input_output_aliases={6: 1, 7: 2},
+        input_output_aliases={7: 1, 8: 2},
         interpret=interpret,
-    )(pos, maxpos, q.reshape(BH, 1, D), k_new.astype(cdt).reshape(BH, 1, D),
+    )(pos, maxpos, q.reshape(BH, 1, D), qm,
+      k_new.astype(cdt).reshape(BH, 1, D),
       v_new.astype(cdt).reshape(BH, 1, D), pos_bh,
       k_cache.reshape(BH, Tp, P * D), v_cache.reshape(BH, Tp, P * D))
 
