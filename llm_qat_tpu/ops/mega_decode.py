@@ -1,0 +1,517 @@
+"""Whole-model fused decode step: all transformer layers in ONE Pallas call.
+
+Round-1 profiling (docs/RESULTS_R1.md) left the int8 decode path at
+~0.71 ms/step vs a ~0.27 ms HBM speed-of-light: the remaining gap is the
+fixed cost of ~100 small XLA kernels per step (4 linears x 12 layers of
+LN/quantize/dot/scale/LoRA chains). Fusing a layer into 2-3 Pallas calls
+made it *slower* (`ops/fused_decode.py`) because separate pallas_calls
+serialize their weight loads — the fix is grid-pipelined weight streaming:
+
+  * every per-layer weight matrix is cut into uniform (d, d) int8 tiles —
+    qkv (d,3d) -> 3 out-tiles, attn-proj (d,d) -> 1, fc (d,4d) -> 4
+    out-tiles, mlp-proj (4d,d) -> 4 in-tiles (partial-sum) = 12 tiles/layer
+  * ONE pallas_call with grid (n_layer, 12) processes one tile per grid
+    step; Mosaic's automatic pipelining double-buffers the next tile's DMA
+    under the current step's compute, so weight streaming never stalls
+    behind compute (and vice versa) across the whole model
+  * the KV caches for ALL layers stay HBM-resident (`pltpu.ANY`), stacked
+    in a HEAD-INTERLEAVED row layout (L, B, T, d): row t holds every
+    head's K (or V) for that timestep across the full d=H*head_dim lanes —
+    naturally unpadded (d is a multiple of 128) and writable directly from
+    the qkv projection with no transpose. The attention for layer l runs
+    inside grid step (l, 3): live-prefix double-buffered streaming + an
+    8-sublane append RMW (as `decode_attention_hbm`), with per-head score/
+    value math done entirely by batched MXU dots against a constant one-hot
+    head mask (H, d) — Mosaic supports no (B, d)->(B*H, D) reshape, and
+    this layout never needs one
+  * the hidden state h lives in the (revisited) output block across all
+    grid steps; LoRA A/B factors, biases, scales and LN banks are tiled
+    per (layer, tile) so no in-kernel dynamic lane slicing is needed
+
+Numerics follow the `int8_xla` serving path exactly (`models/inference.py::
+_int8_dot`): static calibrated per-tensor activation scales (the minmax-8
+fake-quant grid, reference `part3_eval_sp/main_sp_eval.py:60` per-tensor eval
+mode), s8xs8->s32 MXU dots, f32 epilogues, bf16 factored LoRA on the
+pre-quantization input (reference LoRA math `part1_switchable_precision/
+lora.py:45-54`), exact-erf GELU (A&S 7.1.26 — Pallas TPU lowers no erf).
+The mlp-proj partial sums accumulate in int32, so the 4-tile split is
+bit-identical to the single big s32 dot.
+
+The reference has no decode runtime at all (it re-runs the full prefix per
+token, `part1_switchable_precision/models_sp.py:460-507`); this kernel is
+the TPU-native replacement's hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode_attention import _clamp, _idiv, _irem, _rne, _sel
+
+NEG_INF = -1e30
+N_TILES = 12  # 3 qkv + 1 attn-proj + 4 fc + 4 mlp-proj partials
+
+
+class MegaWeights(NamedTuple):
+    """Stacked per-(layer, tile) operand banks for the megakernel."""
+
+    wt: jax.Array      # (L, 12, d, d) int8 weight tiles
+    ws: jax.Array      # (L, 12, 1, d) f32 per-out-channel dequant scales
+    bias: jax.Array    # (L, 12, 1, d) f32 (mlp bias only on tile 11)
+    at: jax.Array      # (L, 12, d, r) LoRA A tiles (zeros where unused)
+    bt: jax.Array      # (L, 12, r, d) LoRA B tiles (scaling folded in)
+    ln: jax.Array      # (L, 4, d) f32: ln1_g, ln1_b, ln2_g, ln2_b
+    xs: jax.Array      # (L, 4) f32 static activation scales (qkv,proj,fc,mlp)
+
+
+def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
+    """Build the tiled operand banks from an `int8_xla` inference tree.
+
+    Requires `quantize_for_inference(..., weight_format="int8_xla")` output
+    with static activation scales (`x_s`) on every linear — i.e. the
+    symmetric-minmax per-tensor deployment configuration.
+    """
+    m = cfg.model
+    d, ff = m.n_embd, 4 * m.n_embd
+    blocks = iparams["blocks"]
+    for name in ("c_attn", "attn_proj", "c_fc", "mlp_proj"):
+        lin = blocks[name]
+        if "w_i8" not in lin or "x_s" not in lin:
+            raise ValueError(
+                f"mega decode needs int8_xla weights with static activation "
+                f"scales; linear {name!r} has keys {sorted(lin)}")
+    if blocks["c_fc"]["w_i8"].shape[2] != ff:
+        raise ValueError("mega decode assumes d_ff == 4*d_model")
+    L = blocks["c_attn"]["w_i8"].shape[0]
+
+    def outvec(x, n):
+        # per-out-channel (L, n) or per-tensor (L,)/(L, 1) -> (L, n) f32
+        x = jnp.asarray(x, jnp.float32).reshape(L, -1)
+        return jnp.broadcast_to(x, (L, n))
+
+    qkv, proj, fc, mlp = (blocks["c_attn"], blocks["attn_proj"],
+                          blocks["c_fc"], blocks["mlp_proj"])
+
+    def tiles_out(w):  # (L, d, n*d) -> n x (L, d, d) col tiles
+        n = w.shape[2] // d
+        return [w[:, :, i * d:(i + 1) * d] for i in range(n)]
+
+    def tiles_in(w):  # (L, n*d, d) -> n x (L, d, d) row tiles
+        n = w.shape[1] // d
+        return [w[:, i * d:(i + 1) * d, :] for i in range(n)]
+
+    wt = jnp.stack(
+        tiles_out(qkv["w_i8"]) + [proj["w_i8"]] + tiles_out(fc["w_i8"])
+        + tiles_in(mlp["w_i8"]), axis=1)
+
+    def vec_tiles(v, n):  # (L, n*d) -> n x (L, d)
+        return [v[:, i * d:(i + 1) * d] for i in range(n)]
+
+    qkv_s, fc_s = outvec(qkv["w_s"], 3 * d), outvec(fc["w_s"], ff)
+    proj_s, mlp_s = outvec(proj["w_s"], d), outvec(mlp["w_s"], d)
+    # (L, NT, 1, d): the unit dim keeps per-tile blocks at a legal
+    # (1, d) last-two-dims tile shape for the Mosaic lowering
+    ws = jnp.stack(vec_tiles(qkv_s, 3) + [proj_s] + vec_tiles(fc_s, 4)
+                   + [mlp_s] * 4, axis=1)[:, :, None, :]
+
+    zs = jnp.zeros((L, d), jnp.float32)
+    bias = jnp.stack(
+        vec_tiles(jnp.asarray(qkv["b"], jnp.float32), 3)
+        + [jnp.asarray(proj["b"], jnp.float32)]
+        + vec_tiles(jnp.asarray(fc["b"], jnp.float32), 4)
+        + [zs, zs, zs, jnp.asarray(mlp["b"], jnp.float32)],
+        axis=1)[:, :, None, :]
+
+    has_lora = "lora_A" in qkv
+    if has_lora:
+        r = qkv["lora_A"].shape[2]
+        ldt = qkv["lora_A"].dtype
+        za = jnp.zeros((L, d, r), ldt)
+        zb = jnp.zeros((L, r, d), ldt)
+        # A tiles: qkv@0, proj@3, fc@4, mlp row-chunks@8..11 (xa accumulates)
+        at = jnp.stack(
+            [qkv["lora_A"], za, za, proj["lora_A"], fc["lora_A"], za, za, za]
+            + tiles_in(mlp["lora_A"]), axis=1)
+        # B tiles: col slices where the tile's output lands; mlp B on tile 11
+        bt = jnp.stack(
+            tiles_out(qkv["lora_B"]) + [proj["lora_B"]]
+            + tiles_out(fc["lora_B"]) + [zb, zb, zb, mlp["lora_B"]], axis=1)
+    else:
+        r = 8
+        at = jnp.zeros((L, N_TILES, d, r), jnp.bfloat16)
+        bt = jnp.zeros((L, N_TILES, r, d), jnp.bfloat16)
+
+    ln = jnp.stack(
+        [jnp.asarray(iparams["blocks"]["ln1"]["g"], jnp.float32),
+         jnp.asarray(iparams["blocks"]["ln1"]["b"], jnp.float32),
+         jnp.asarray(iparams["blocks"]["ln2"]["g"], jnp.float32),
+         jnp.asarray(iparams["blocks"]["ln2"]["b"], jnp.float32)], axis=1)
+
+    xs = jnp.stack(
+        [jnp.asarray(lin["x_s"], jnp.float32).reshape(L)
+         for lin in (qkv, proj, fc, mlp)], axis=1)
+
+    return MegaWeights(wt=wt, ws=ws, bias=bias, at=at, bt=bt, ln=ln, xs=xs)
+
+
+def _ln_f32(x, g, b, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return g * (x - mean) * jax.lax.rsqrt(var + eps) + b
+
+
+def _q8(x, xs):
+    return _clamp(_rne(x / xs), -127.0, 127.0).astype(jnp.int8)
+
+
+def _erf(z):
+    """A&S 7.1.26 rational erf (max abs err 1.5e-7); no erf in Pallas TPU."""
+    s = jnp.sign(z)
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * za)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return s * (1.0 - poly * jnp.exp(-za * za))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
+                 at_ref, bt_ref, ln_ref, kc_in, vc_in,
+                 o_ref, kc, vc,
+                 qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
+                 kbuf, vbuf, rmwk, rmwv, sem, rsem,
+                 *, eps, sm_scale, tbp, B, H, has_lora, act_dtype):
+    """Grid (n_layer, 12); one (d, d) weight tile per step (see module doc)."""
+    del kc_in, vc_in  # aliased to kc/vc
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    d = h_ref.shape[1]
+    cdt = kbuf.dtype
+    pos = pos_ref[0]
+
+    @pl.when((l == 0) & (t == 0))
+    def _():
+        o_ref[:] = h_ref[:]
+
+    def _rt(x):
+        # Round f32 -> bf16 -> f32 at the same points the XLA serving path
+        # keeps h/LN/GELU outputs in bf16 (`infer_forward_unrolled`): the
+        # int8 activation codes — and hence all s32 dots — then match the
+        # unfused path, making the megakernel a drop-in replacement. The
+        # rounding is done by explicit round-to-nearest-even bit math:
+        # Mosaic compiles a plain astype(bf16).astype(f32) pair to a
+        # DIFFERENT rounding than XLA's convert (measured compiled-vs-
+        # interpret divergence), while integer ops are exact everywhere.
+        # A no-op for f32 trees (the bit-exactness tests).
+        if act_dtype == jnp.float32:
+            return x
+        u = pltpu.bitcast(x, jnp.int32)
+        r = (u + 0x7FFF + ((u >> 16) & 1)) & jnp.int32(-65536)
+        return pltpu.bitcast(r, jnp.float32)
+
+    w_tile = wt_ref[0, 0]           # (d, d) int8
+    w_s = ws_ref[0, 0]              # (1, d) f32
+    b_t = bias_ref[0, 0]            # (1, d) f32
+
+    def i8dot(qx):
+        return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def lora_b(xa):
+        return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, 0],
+                       preferred_element_type=jnp.float32)
+
+    # ---- t == 0..2: LN1 + qkv out-tile --------------------------------
+    @pl.when(t == 0)
+    def _():
+        hn = _rt(_ln_f32(o_ref[:], ln_ref[0, 0:1, :], ln_ref[0, 1:2, :],
+                         eps))
+        qx_s[:] = _q8(hn, xs_ref[l, 0])
+        if has_lora:
+            # xa for the qkv phase; parked in xam_s row 0 until t==2
+            xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, 0],
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(t < 3)
+    def _():
+        out = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 0] * w_s)
+               + b_t)
+        if has_lora:
+            out = out + lora_b(xam_s[0])
+        qkv_s[t] = out
+
+    # ---- t == 3: attention (head-interleaved HBM caches) + attn-proj --
+    @pl.when(t == 3)
+    def _():
+        q = qkv_s[0] * sm_scale    # (B, d) f32, pre-scaled
+        # new K/V round-trip through the cache dtype so the merge sees the
+        # same values later steps will stream back (matches the unfused path)
+        kn = qkv_s[1].astype(cdt).astype(jnp.float32)  # (B, d)
+        vn = qkv_s[2].astype(cdt).astype(jnp.float32)
+        hm = hm_ref[:]             # (H, d) f32 one-hot head mask
+
+        # 1. kick off the append-RMW *read* (modify+write after streaming)
+        grp8 = pl.multiple_of(_idiv(pos, 8) * 8, 8)
+        sub = _irem(pos, 8)
+        rk = pltpu.make_async_copy(kc.at[l, :, pl.ds(grp8, 8)], rmwk,
+                                   rsem.at[0])
+        rv = pltpu.make_async_copy(vc.at[l, :, pl.ds(grp8, 8)], rmwv,
+                                   rsem.at[1])
+        rk.start()
+        rv.start()
+
+        # Qm (B, H, d): row h = q masked to head h's lane group — per-head
+        # scores come from ONE batched MXU dot against full-d cache rows
+        Qm = (q[:, None, :] * hm[None]).astype(cdt)
+
+        nblk = _idiv(pos + tbp - 1, tbp)
+
+        def get_dma(slot, j):
+            off = pl.multiple_of(j * tbp, tbp)
+            return (
+                pltpu.make_async_copy(kc.at[l, :, pl.ds(off, tbp)],
+                                      kbuf.at[slot], sem.at[0, slot]),
+                pltpu.make_async_copy(vc.at[l, :, pl.ds(off, tbp)],
+                                      vbuf.at[slot], sem.at[1, slot]),
+            )
+
+        @pl.when(nblk > 0)
+        def _():
+            k0, v0 = get_dma(0, 0)
+            k0.start()
+            v0.start()
+
+        prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+
+        def body(j, carry):
+            m, lsum, acc = carry
+            slot = _irem(j, 2)
+
+            @pl.when(j + 1 < nblk)
+            def _():
+                kn_, vn_ = get_dma(_irem(j + 1, 2), j + 1)
+                kn_.start()
+                vn_.start()
+
+            kj, vj = get_dma(slot, j)
+            kj.wait()
+            vj.wait()
+            kb = kbuf[slot]  # (B, tbp, d) cache rows
+            s = jax.lax.dot_general(  # (B, H, tbp) per-head scores
+                Qm, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
+                                             2) + j * tbp
+            s = _sel(t_ids < pos, s, NEG_INF)  # strict: new token merges last
+            m_new = jnp.maximum(m, jnp.max(s, axis=2))  # (B, H)
+            pbl = jnp.exp(s - m_new[:, :, None])
+            corr = jnp.exp(m - m_new)
+            l_new = lsum * corr + jnp.sum(pbl, axis=2)
+            pv = jax.lax.dot_general(  # (B, H, d) full-lane weighted V
+                pbl.astype(cdt), vbuf[slot], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+            return m_new, l_new, acc * corr[:, :, None] + pv
+
+        m0 = jnp.full((B, H), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((B, H), jnp.float32)
+        a0 = jnp.zeros((B, H, d), jnp.float32)
+        m, lsum, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+
+        # merge the new token (never round-trips through HBM)
+        s_new = jax.lax.dot_general(  # (B, H): per-head q . k_new
+            q * kn, hm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_f = jnp.maximum(m, s_new)
+        corr = jnp.exp(m - m_f)
+        p_new = jnp.exp(s_new - m_f)
+        l_f = lsum * corr + p_new
+        heads = acc * corr[:, :, None] + p_new[:, :, None] * (
+            vn[:, None, :] * hm[None])           # (B, H, d)
+        # collapse: lane i belongs to head i//D; l_f expands via one-hot dot
+        out = jnp.sum(heads * hm[None], axis=1)  # (B, d)
+        l_lanes = jax.lax.dot_general(
+            l_f, hm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (B, d)
+        attn2d = _rt(out / jnp.maximum(l_lanes, 1e-30))
+
+        # complete the append RMW (row `pos` gets this step's k/v)
+        rk.wait()
+        rv.wait()
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, d), 1)
+        selm = sub_ids == sub
+        rmwk[:] = _sel(selm, jnp.broadcast_to(kn.astype(cdt)[:, None, :],
+                                              (B, 8, d)), rmwk[:])
+        rmwv[:] = _sel(selm, jnp.broadcast_to(vn.astype(cdt)[:, None, :],
+                                              (B, 8, d)), rmwv[:])
+        wk = pltpu.make_async_copy(rmwk, kc.at[l, :, pl.ds(grp8, 8)],
+                                   rsem.at[0])
+        wv = pltpu.make_async_copy(rmwv, vc.at[l, :, pl.ds(grp8, 8)],
+                                   rsem.at[1])
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+        # ---- attn-proj tile + residual + LN2 --------------------------
+        proj = (i8dot(_q8(attn2d, xs_ref[l, 1])).astype(jnp.float32)
+                * (xs_ref[l, 1] * w_s) + b_t)
+        if has_lora:
+            xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, 0],
+                         preferred_element_type=jnp.float32)
+            proj = proj + lora_b(xa)
+        h1 = _rt(o_ref[:] + _rt(proj))
+        o_ref[:] = h1
+        hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
+                               eps))
+
+    # ---- t == 4..7: fc out-tile + GELU --------------------------------
+    @pl.when(t == 4)
+    def _():
+        qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2])
+        if has_lora:
+            xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, 0],
+                               preferred_element_type=jnp.float32)
+
+    @pl.when((t >= 4) & (t < 8))
+    def _():
+        fc = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 2] * w_s)
+              + b_t)
+        if has_lora:
+            fc = fc + lora_b(xam_s[0])
+        g_s[t - 4] = _rt(_gelu_exact(fc))
+
+    # ---- t == 8..11: mlp-proj in-tile partial sums (exact s32 split) --
+    @pl.when(t >= 8)
+    def _():
+        g_chunk = g_s[t - 8]
+        part_dot = jax.lax.dot_general(
+            _q8(g_chunk, xs_ref[l, 3]), w_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        if has_lora:
+            xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, 0],
+                          preferred_element_type=jnp.float32)
+
+        @pl.when(t == 8)
+        def _():
+            acc_s[:] = part_dot
+            if has_lora:
+                xam_s[1] = xam
+
+        @pl.when(t > 8)
+        def _():
+            acc_s[:] = acc_s[:] + part_dot
+            if has_lora:
+                xam_s[1] = xam_s[1] + xam
+
+    @pl.when(t == N_TILES - 1)
+    def _():
+        mlp = (acc_s[:].astype(jnp.float32) * (xs_ref[l, 3] * w_s) + b_t)
+        if has_lora:
+            mlp = mlp + lora_b(xam_s[1])
+        o_ref[:] = _rt(o_ref[:] + _rt(mlp))
+
+
+def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
+                     n_head: int, head_dim: int, has_lora: bool,
+                     eps: float = 1e-5, tbp: int = 32,
+                     act_dtype=jnp.bfloat16, interpret: bool = False):
+    """Run every transformer layer of one decode step in one Pallas call.
+
+    h: (B, d) f32 post-embedding hidden state (single token per sequence).
+    mw: `pack_mega_weights` output.
+    k_cache/v_cache: stacked HEAD-INTERLEAVED caches (L, B, T, d) — row t
+    holds all heads' K/V for timestep t — DONATED, updated in place at
+    `pos` (scalar int32, uniform across the batch).
+    Returns (h_out (B, d) f32, k_cache, v_cache).
+    """
+    B, d = h.shape
+    L = mw.wt.shape[0]
+    r = mw.at.shape[3]
+    D, H = head_dim, n_head
+    assert H * D == d
+    Tc = k_cache.shape[2]
+    assert k_cache.shape == (L, B, Tc, d), (k_cache.shape, (L, B, Tc, d))
+    tbp = min(tbp, Tc)
+    while Tc % tbp and tbp > 8:
+        tbp -= 8
+    assert Tc % tbp == 0 and tbp % 8 == 0, (Tc, tbp)
+    cdt = k_cache.dtype
+    sm_scale = 1.0 / math.sqrt(D)
+    ldt = mw.at.dtype
+
+    # one-hot head mask: lane i belongs to head i // head_dim
+    hm = (jnp.arange(d) // D == jnp.arange(H)[:, None]).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _mega_kernel, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
+        has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type)
+
+    grid = (L, N_TILES)
+    out, kc, vc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # pos (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # xs (L, 4)
+            pl.BlockSpec((B, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),            # h
+            pl.BlockSpec((H, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),            # head mask
+            pl.BlockSpec((1, 1, d, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # wt
+            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # ws
+            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # bias
+            pl.BlockSpec((1, 1, d, r), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # at
+            pl.BlockSpec((1, 1, r, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # ln
+            pl.BlockSpec(memory_space=pltpu.ANY),             # kc
+            pl.BlockSpec(memory_space=pltpu.ANY),             # vc
+        ],
+        out_specs=(
+            pl.BlockSpec((B, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, d), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, Tc, d), cdt),
+            jax.ShapeDtypeStruct((L, B, Tc, d), cdt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, B, d), jnp.float32),    # qkv_s
+            pltpu.VMEM((B, d), jnp.int8),          # qx_s
+            pltpu.VMEM((B, d), jnp.float32),       # hn2_s
+            pltpu.VMEM((4, B, d), jnp.float32),    # g_s
+            pltpu.VMEM((B, d), jnp.int32),         # acc_s
+            pltpu.VMEM((2, B, r), jnp.float32),    # xam_s (qkv/fc @0, mlp @1)
+            pltpu.VMEM((2, B, tbp, d), cdt),       # kbuf
+            pltpu.VMEM((2, B, tbp, d), cdt),       # vbuf
+            pltpu.VMEM((B, 8, d), cdt),            # rmwk
+            pltpu.VMEM((B, 8, d), cdt),            # rmwv
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={10: 1, 11: 2},
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), mw.xs,
+      h.astype(jnp.float32), hm, mw.wt, mw.ws, mw.bias,
+      mw.at.astype(ldt), mw.bt.astype(ldt), mw.ln, k_cache, v_cache)
+
+    return out, kc, vc

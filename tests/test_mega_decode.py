@@ -1,0 +1,177 @@
+"""Megakernel decode step vs the unfused int8_xla path (interpret mode).
+
+The whole-model kernel (`ops/mega_decode.py`) must reproduce the per-op XLA
+serving path (`models/inference.py::infer_forward_unrolled` with
+weight_format="int8_xla" + packed KV caches) step by step: same int8 grids,
+same attention math, caches updated identically.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_qat_tpu.models import GPT2Config, QuantConfig, SPModelConfig
+from llm_qat_tpu.models.inference import (
+    infer_forward_unrolled,
+    init_layer_caches,
+    quantize_for_inference,
+)
+from llm_qat_tpu.models.sp_model import init_sp_params
+from llm_qat_tpu.ops.mega_decode import (
+    N_TILES,
+    mega_decode_step,
+    pack_mega_weights,
+)
+from llm_qat_tpu.train.calibration_manager import calibrate_weight_quantizers
+
+
+def _mega_config(rank=4):
+    return SPModelConfig(
+        model=GPT2Config(vocab_size=256, n_positions=128, n_embd=128,
+                         n_layer=2, n_head=2),
+        quant=QuantConfig(
+            bit_widths=(4, 8, 32),
+            quantizer_per_bit={8: "minmax"},
+            per_channel=False,
+            lora_rank_per_bit={b: rank for b in range(2, 17)} | {32: 0},
+            lora_alpha_per_bit={b: 2 * rank for b in range(2, 17)} | {32: 0},
+        ),
+        compute_dtype="float32",
+    )
+
+
+def _setup(rank):
+    cfg = _mega_config(rank)
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    # f32 tree: the megakernel is bit-exact vs the unfused path (both paths
+    # see identical pre-quantization activations). The production bf16 tree
+    # differs only by bf16 input rounding flipping int8 codes at grid
+    # boundaries — covered at the engine level by greedy-token equality.
+    iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.float32,
+                                     weight_format="int8_xla")
+    static = iparams.pop("_static")
+    return cfg, iparams, static
+
+
+def _as_rowmajor(caches, head_dim):
+    """Reference packed tuple caches -> mega (L, B, T, d) row layout."""
+    from llm_qat_tpu.ops.decode_attention import unpack_kv
+
+    def conv(c):  # (B, H, Tp, P*D) -> (B, T, H*D)
+        u = unpack_kv(c, head_dim)  # (B, H, T, D)
+        return u.transpose(0, 2, 1, 3).reshape(u.shape[0], u.shape[2], -1)
+
+    ks = jnp.stack([conv(c) for c in caches[0::2]])
+    vs = jnp.stack([conv(c) for c in caches[1::2]])
+    return ks, vs
+
+
+@pytest.mark.parametrize("rank", [4, 0])
+def test_matches_unfused_path(rank):
+    cfg, iparams, static = _setup(rank)
+    m = cfg.model
+    B, steps = 3, 5
+    T_max = 128
+
+    mw = pack_mega_weights(iparams, cfg)
+    assert mw.wt.shape == (m.n_layer, N_TILES, m.n_embd, m.n_embd)
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, m.vocab_size, (B, steps)))
+
+    ref_caches = init_layer_caches(cfg, B, T_max, kv_layout="packed")
+    kc = jnp.zeros((m.n_layer, B, T_max, m.n_embd), jnp.bfloat16)
+    vc = jnp.zeros_like(kc)
+
+    for step in range(steps):
+        ids = toks[:, step:step + 1]
+        pos = jnp.int32(step)
+        want, ref_caches, _ = infer_forward_unrolled(
+            iparams, ids, cfg, ref_caches, pos, static=static,
+            attn_interpret=True)
+
+        h = (iparams["wte"][ids[:, 0]]
+             + iparams["wpe"][step][None]).astype(jnp.float32)
+        h_out, kc, vc = mega_decode_step(
+            h, mw, kc, vc, pos, n_head=m.n_head, head_dim=m.head_dim,
+            has_lora=rank > 0, act_dtype=jnp.float32, interpret=True)
+
+        # trunk parity: apply ln_f + head outside the kernel (same as engine)
+        from llm_qat_tpu.models.inference import _ln
+
+        hf = _ln(h_out[:, None, :], iparams["ln_f"]["g"],
+                 iparams["ln_f"]["b"], m.layer_norm_epsilon)
+        got = jnp.dot(hf, iparams["wte"].T.astype(hf.dtype),
+                      preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"step {step}")
+
+        want_k, want_v = _as_rowmajor(ref_caches, m.head_dim)
+        np.testing.assert_allclose(
+            np.asarray(kc, jnp.float32), np.asarray(want_k, jnp.float32),
+            rtol=1e-6, atol=1e-6, err_msg=f"k cache step {step}")
+        np.testing.assert_allclose(
+            np.asarray(vc, jnp.float32), np.asarray(want_v, jnp.float32),
+            rtol=1e-6, atol=1e-6, err_msg=f"v cache step {step}")
+
+
+def test_bf16_tree_drop_in():
+    """Production bf16 tree: the kernel's explicit RNE-to-bf16 round-trips
+    at the unfused path's cast points make it a drop-in — logits and caches
+    match the unfused path exactly on the same backend."""
+    cfg = _mega_config(4)
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16,
+                                     weight_format="int8_xla")
+    static = iparams.pop("_static")
+    m = cfg.model
+    B, steps, T_max = 3, 4, 128
+    mw = pack_mega_weights(iparams, cfg)
+
+    rng = np.random.default_rng(1)
+    toks = jnp.asarray(rng.integers(0, m.vocab_size, (B, steps)))
+    ref_caches = init_layer_caches(cfg, B, T_max, kv_layout="packed")
+    kc = jnp.zeros((m.n_layer, B, T_max, m.n_embd), jnp.bfloat16)
+    vc = jnp.zeros_like(kc)
+    wte = iparams["wte"]
+
+    for step in range(steps):
+        ids = toks[:, step:step + 1]
+        pos = jnp.int32(step)
+        want, ref_caches, _ = infer_forward_unrolled(
+            iparams, ids, cfg, ref_caches, pos, static=static,
+            attn_interpret=True)
+        h = (wte[ids[:, 0]]
+             + iparams["wpe"][step][None].astype(wte.dtype)
+             ).astype(jnp.float32)
+        h_out, kc, vc = mega_decode_step(
+            h, mw, kc, vc, pos, n_head=m.n_head, head_dim=m.head_dim,
+            has_lora=True, interpret=True)
+
+        from llm_qat_tpu.models.inference import _ln
+
+        hf = _ln(h_out[:, None, :].astype(jnp.bfloat16), iparams["ln_f"]["g"],
+                 iparams["ln_f"]["b"], m.layer_norm_epsilon)
+        got = jnp.dot(hf, wte.T, preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"step {step}")
+        want_k, want_v = _as_rowmajor(ref_caches, m.head_dim)
+        np.testing.assert_array_equal(np.asarray(kc, np.float32),
+                                      np.asarray(want_k, np.float32))
+        np.testing.assert_array_equal(np.asarray(vc, np.float32),
+                                      np.asarray(want_v, np.float32))
+
+
+def test_pack_rejects_non_int8_tree():
+    cfg = _mega_config(0)
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    dense = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16)
+    dense.pop("_static")
+    with pytest.raises(ValueError, match="int8_xla"):
+        pack_mega_weights(dense, cfg)
