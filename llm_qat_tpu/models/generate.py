@@ -159,6 +159,36 @@ def _filter_logits(logits, temperature, top_k, top_p):
     return logits
 
 
+def _filter_logits_vec(logits, temperature, top_k, top_p):
+    """Per-ROW temperature / top-k / top-p filtering, all traced.
+
+    Batched variant of `_filter_logits` for serving: each row of `logits`
+    (B, V) has its own temperature (B,), top_k (B,) int32 (0 disables) and
+    top_p (B,) f32 (1.0 disables) — the reference applies one setting per
+    `generate` call (`models_sp.py:473-486`); continuous batching interleaves
+    requests with different settings in one step, so the knobs become traced
+    per-slot operands instead of static python values.
+    """
+    V = logits.shape[-1]
+    logits = logits / jnp.maximum(temperature[:, None], 1e-6)
+
+    srt = jnp.sort(logits, axis=-1)  # ascending
+    idx = jnp.clip(V - top_k, 0, V - 1)
+    kth = jnp.take_along_axis(srt, idx[:, None], axis=-1)
+    logits = jnp.where((top_k[:, None] > 0) & (logits < kth), -1e30, logits)
+
+    sorted_desc = srt[:, ::-1]
+    cum = jnp.cumsum(jax.nn.softmax(sorted_desc, axis=-1), axis=-1)
+    remove = cum > top_p[:, None]
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[:, :1]), remove[:, :-1]], axis=-1)
+    thresh = jnp.where(remove, jnp.inf, sorted_desc).min(
+        axis=-1, keepdims=True)
+    logits = jnp.where((top_p[:, None] < 1.0) & (logits < thresh), -1e30,
+                       logits)
+    return logits
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "do_sample",
                                    "temperature", "top_k", "top_p",
                                    "eos_token_id"))

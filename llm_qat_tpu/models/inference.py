@@ -589,6 +589,20 @@ class InferenceEngine:
         static = self.iparams.pop("_static")
         self.static = static
 
+        self.mega = None
+        if kv_layout == "mega":
+            # whole-model grid-pipelined decode megakernel: ONE Pallas call
+            # per token instead of ~100 small XLA kernels (ops/mega_decode.py
+            # module doc has the round-1 dispatch-overhead diagnosis)
+            from ..ops.mega_decode import pack_mega_weights
+
+            if cfg.model.n_embd % 128:
+                raise ValueError(
+                    "kv_layout='mega' needs n_embd % 128 == 0 (the kernel "
+                    f"tiles (d, d) weight blocks); got {cfg.model.n_embd}")
+            self.mega = pack_mega_weights(self.iparams, cfg)  # validates fmt
+            self._has_lora = "lora_A" in self.iparams["blocks"]["c_attn"]
+
         @jax.jit
         def _prefill(iparams, ids, caches):
             return infer_forward_unrolled(iparams, ids, cfg, caches,
@@ -606,8 +620,13 @@ class InferenceEngine:
                                            "top_p", "do_sample",
                                            "eos_token_id"),
                  donate_argnums=(2,))
-        def _decode(iparams, tok0, caches, length0, rng, *, n_new,
+        def _decode(iparams, logits0, caches, length0, rng, *, n_new,
                     temperature, top_k, top_p, do_sample, eos_token_id):
+            # Mirrors `generate`'s loop exactly (sample from the carried
+            # logits at the TOP of each step, then run the forward): the
+            # emitted tokens are [t_T0, ..., t_{T0+n-1}] with t_T0 drawn from
+            # the prefill logits under the SAME sampling settings — the
+            # reference samples every token (`models_sp.py:488-491`).
             from .generate import _filter_logits
 
             def sample(logits, r):
@@ -619,22 +638,22 @@ class InferenceEngine:
                 return jnp.argmax(filt, axis=-1)
 
             def body(carry, xs):
-                tok, caches, done = carry
+                last_logits, caches, done = carry
                 i, r = xs
-                logits, caches, _ = infer_forward_unrolled(
-                    iparams, tok, cfg, caches, length0 + i, static=static,
-                    attn_interpret=attn_interpret)
-                nxt = sample(logits[:, -1], r)
+                tok = sample(last_logits, r)
                 if eos_token_id is not None:
-                    nxt = jnp.where(done, eos_token_id, nxt)
-                    done = done | (nxt == eos_token_id)
-                return (nxt[:, None], caches, done), nxt
+                    tok = jnp.where(done, eos_token_id, tok)
+                    done = done | (tok == eos_token_id)
+                logits, caches, _ = infer_forward_unrolled(
+                    iparams, tok[:, None], cfg, caches, length0 + i,
+                    static=static, attn_interpret=attn_interpret)
+                return (logits[:, -1], caches, done), tok
 
-            B = tok0.shape[0]
+            B = logits0.shape[0]
             done0 = jnp.zeros((B,), bool)
             rngs = jax.random.split(rng, n_new)
             (_, caches, _), toks = jax.lax.scan(
-                body, (tok0, caches, done0), (jnp.arange(n_new), rngs))
+                body, (logits0, caches, done0), (jnp.arange(n_new), rngs))
             return toks.T, caches
 
         self._prefill = _prefill
@@ -645,8 +664,6 @@ class InferenceEngine:
                  temperature: float = 1.0, top_k=None, top_p=None,
                  do_sample: bool = False, eos_token_id=None, rng=None):
         """input_ids (B, T) numpy/jnp → (B, T + max_new_tokens)."""
-        import numpy as _np
-
         input_ids = jnp.asarray(input_ids)
         B, T0 = input_ids.shape
         assert B <= self.max_batch and T0 + max_new_tokens <= self.max_len
@@ -671,9 +688,8 @@ class InferenceEngine:
         for t in range(T0e, T0):
             logits, caches, _ = self._prefill_step(
                 self.iparams, input_ids[:, t:t + 1], caches, jnp.int32(t))
-        tok0 = jnp.argmax(logits[:, -1:], axis=-1)
         toks, _ = self._decode(
-            self.iparams, tok0, caches, jnp.int32(T0), rng,
+            self.iparams, logits[:, -1], caches, jnp.int32(T0), rng,
             n_new=max_new_tokens, temperature=temperature, top_k=top_k,
             top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id)
         return jnp.concatenate([input_ids, toks], axis=1)

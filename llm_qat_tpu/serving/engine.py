@@ -51,14 +51,39 @@ class Request:
     req_id: int
     prompt: np.ndarray  # (T0,) int32
     max_new_tokens: int
+    temperature: float = 1.0
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    do_sample: bool = False
     generated: List[int] = field(default_factory=list)
     done: bool = False
 
 
-def _decode_step(iparams, tokens, caches, lengths, active, cfg: SPModelConfig,
+def _sample_slots(logits, keys, counts, temp, top_k, top_p, do_sample):
+    """Per-slot sampling: logits (B, V), keys (B, 2) uint32 per-request PRNG
+    keys, counts (B,) token index within each request (the fold_in stream —
+    token i of a request always uses fold_in(req_key, i), making chunked and
+    stepwise decode bit-identical). Greedy rows take argmax of the filtered
+    logits (filters keep the max, so == plain argmax). Reference sampling
+    semantics: `models_sp.py:473-491`."""
+    from ..models.generate import _filter_logits_vec
+
+    filt = _filter_logits_vec(logits, temp, top_k, top_p)
+
+    def one(key, c, f):
+        return jax.random.categorical(jax.random.fold_in(key, c), f)
+
+    sampled = jax.vmap(one)(keys, counts, filt)
+    return jnp.where(do_sample, sampled,
+                     jnp.argmax(filt, axis=-1)).astype(jnp.int32)
+
+
+def _decode_step(iparams, tokens, caches, lengths, active, keys, counts,
+                 temp, top_k, top_p, do_sample, cfg: SPModelConfig,
                  static: StaticMeta, attn_interpret: bool = False):
     """One token for every slot. tokens (B, 1); lengths (B,) current lengths;
-    active (B,) bool. Returns (next_token (B,), new_caches)."""
+    active (B,) bool; keys/counts/temp/top_k/top_p/do_sample (B,) per-slot
+    sampling state. Returns (next_token (B,), new_caches)."""
     from ..ops.decode_attention import kv_pack_factor
 
     m = cfg.model
@@ -129,20 +154,22 @@ def _decode_step(iparams, tokens, caches, lengths, active, cfg: SPModelConfig,
             m.layer_norm_epsilon)
     logits = jnp.dot(h[:, 0], iparams["wte"].T,
                      preferred_element_type=jnp.float32)
-    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    nxt = _sample_slots(logits, keys, counts, temp, top_k, top_p, do_sample)
     # inactive slots keep token 0 (ignored by the host)
     nxt = jnp.where(active, nxt, 0)
     return nxt, tuple(new_caches)
 
 
 class ContinuousBatchingEngine:
-    """Greedy continuous-batching decode server (single chip)."""
+    """Continuous-batching decode server (single chip) with per-slot
+    sampling (temperature / top-k / top-p / greedy per request)."""
 
     def __init__(self, params, cfg: SPModelConfig, bits: int,
                  n_slots: int = 8, max_len: int = 512,
                  eos_token_id: Optional[int] = None, dtype=jnp.bfloat16,
                  weight_format: str = "dense", lm_head_int8: bool = False,
-                 kv_layout: str = "auto", attn_interpret: bool = False):
+                 kv_layout: str = "auto", attn_interpret: bool = False,
+                 rng=None):
         from ..ops.decode_attention import kv_pack_factor
 
         self.cfg = cfg
@@ -169,15 +196,25 @@ class ContinuousBatchingEngine:
         self.queue: deque = deque()
         self.finished: Dict[int, Request] = {}
         self._ids = itertools.count()
+        # per-slot sampling state (host mirrors of the traced operands)
+        self.base_rng = (jax.random.PRNGKey(0) if rng is None else rng)
+        self.slot_keys = np.zeros((n_slots, 2), np.uint32)
+        self.gen_counts = np.zeros((n_slots,), np.int32)
+        self.temp = np.ones((n_slots,), np.float32)
+        self.top_k = np.zeros((n_slots,), np.int32)
+        self.top_p = np.ones((n_slots,), np.float32)
+        self.do_sample = np.zeros((n_slots,), bool)
 
         cfg_ = cfg
         static = self.static
 
         self._step = jax.jit(
-            lambda ip, toks, caches, lengths, active: _decode_step(
-                ip, toks, caches, lengths, active, cfg_, static,
-                attn_interpret)
+            lambda ip, toks, caches, lengths, active, keys, counts, temp,
+            tk, tp, ds: _decode_step(
+                ip, toks, caches, lengths, active, keys, counts, temp, tk,
+                tp, ds, cfg_, static, attn_interpret)
         )
+        self._sample_first = jax.jit(_sample_slots)
 
         # chunked decode: k steps on-device per host round trip. Essential
         # when the host↔device link has latency (measured 25 tok/s with
@@ -186,16 +223,19 @@ class ContinuousBatchingEngine:
         # a finished slot's length is never attended (per-slot masks) and
         # prefill overwrites on reuse.
         @partial(jax.jit, static_argnames=("k",), donate_argnums=(2,))
-        def _step_chunk(ip, toks, caches, lengths, active, k):
+        def _step_chunk(ip, toks, caches, lengths, active, keys, counts,
+                        temp, tk, tp, ds, k):
             def body(carry, _):
-                toks, caches, lengths = carry
+                toks, caches, lengths, counts = carry
                 nxt, caches = _decode_step(ip, toks, caches, lengths, active,
+                                           keys, counts, temp, tk, tp, ds,
                                            cfg_, static, attn_interpret)
                 lengths = jnp.where(active, lengths + 1, lengths)
-                return (nxt[:, None], caches, lengths), nxt
+                counts = jnp.where(active, counts + 1, counts)
+                return (nxt[:, None], caches, lengths, counts), nxt
 
-            (_, caches, lengths), toks_out = jax.lax.scan(
-                body, (toks, caches, lengths), None, length=k)
+            (_, caches, lengths, _), toks_out = jax.lax.scan(
+                body, (toks, caches, lengths, counts), None, length=k)
             return toks_out.T, caches  # (B, k)
 
         self._step_chunk = _step_chunk
@@ -235,9 +275,12 @@ class ContinuousBatchingEngine:
         self._insert_slot = _insert_slot
 
     # -- public API --------------------------------------------------------
-    def submit(self, prompt, max_new_tokens: int = 32) -> int:
+    def submit(self, prompt, max_new_tokens: int = 32, *,
+               temperature: float = 1.0, top_k: Optional[int] = None,
+               top_p: Optional[float] = None, do_sample: bool = False) -> int:
         req = Request(next(self._ids), np.asarray(prompt, np.int32),
-                      max_new_tokens)
+                      max_new_tokens, temperature=temperature, top_k=top_k,
+                      top_p=top_p, do_sample=do_sample)
         self.queue.append(req)
         return req.req_id
 
@@ -247,23 +290,57 @@ class ContinuousBatchingEngine:
             b *= 2
         return min(b, self.max_len)
 
+    def _finish(self, slot: int, req: Request):
+        req.done = True
+        self.finished[req.req_id] = req
+        if slot >= 0:
+            self.slot_req[slot] = None
+            self.lengths[slot] = 0
+            self.last_token[slot] = 0
+            self.gen_counts[slot] = 0
+
     def _fill_slots(self):
         for slot in range(self.n_slots):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
-            req = self.queue.popleft()
-            T0 = len(req.prompt)
-            pad = self._bucket(T0)
-            ids = np.zeros((1, pad), np.int32)
-            ids[0, :T0] = req.prompt
-            logits, caches1 = self._prefill(self.iparams, jnp.asarray(ids),
-                                            pad)
-            # insert the first T0 cache rows into this slot (single dispatch)
-            self.caches = self._insert_slot(
-                self.caches, caches1, jnp.int32(slot), jnp.int32(T0))
-            self.lengths[slot] = T0
-            self.last_token[slot] = int(jnp.argmax(logits[0, T0 - 1]))
-            self.slot_req[slot] = req
+            while self.slot_req[slot] is None and self.queue:
+                req = self.queue.popleft()
+                T0 = len(req.prompt)
+                pad = self._bucket(T0)
+                ids = np.zeros((1, pad), np.int32)
+                ids[0, :T0] = req.prompt
+                logits, caches1 = self._prefill(self.iparams,
+                                                jnp.asarray(ids), pad)
+                # the FIRST generated token comes from the prefill logits,
+                # sampled under the request's own settings (the old code
+                # argmaxed it and then dropped it from `generated` — a
+                # shifted-by-one stream vs `generate`)
+                key = np.asarray(
+                    jax.random.fold_in(self.base_rng, req.req_id), np.uint32)
+                first = int(self._sample_first(
+                    logits[:1, T0 - 1], jnp.asarray(key[None]),
+                    jnp.zeros((1,), jnp.int32),
+                    jnp.asarray([req.temperature], jnp.float32),
+                    jnp.asarray([req.top_k or 0], jnp.int32),
+                    jnp.asarray([1.0 if req.top_p is None else req.top_p],
+                                jnp.float32),
+                    jnp.asarray([req.do_sample]))[0])
+                req.generated.append(first)
+                hit_eos = (self.eos_token_id is not None
+                           and first == self.eos_token_id)
+                if len(req.generated) >= req.max_new_tokens or hit_eos:
+                    self._finish(-1, req)
+                    continue  # slot stays free; try the next queued request
+                # insert the first T0 cache rows into this slot (1 dispatch)
+                self.caches = self._insert_slot(
+                    self.caches, caches1, jnp.int32(slot), jnp.int32(T0))
+                self.lengths[slot] = T0
+                self.last_token[slot] = first
+                self.gen_counts[slot] = 1
+                self.slot_keys[slot] = key
+                self.temp[slot] = req.temperature
+                self.top_k[slot] = req.top_k or 0
+                self.top_p[slot] = 1.0 if req.top_p is None else req.top_p
+                self.do_sample[slot] = req.do_sample
+                self.slot_req[slot] = req
 
     def step(self) -> int:
         """Advance every active slot one token; returns #active slots."""
@@ -274,7 +351,10 @@ class ContinuousBatchingEngine:
         toks = jnp.asarray(self.last_token[:, None])
         nxt, self.caches = self._step(
             self.iparams, toks, self.caches, jnp.asarray(self.lengths),
-            jnp.asarray(active_np),
+            jnp.asarray(active_np), jnp.asarray(self.slot_keys),
+            jnp.asarray(self.gen_counts), jnp.asarray(self.temp),
+            jnp.asarray(self.top_k), jnp.asarray(self.top_p),
+            jnp.asarray(self.do_sample),
         )
         nxt = np.asarray(nxt)
         for slot, req in enumerate(self.slot_req):
@@ -283,17 +363,14 @@ class ContinuousBatchingEngine:
             tok = int(nxt[slot])
             req.generated.append(tok)
             self.lengths[slot] += 1
+            self.gen_counts[slot] += 1
             self.last_token[slot] = tok
             hit_eos = (self.eos_token_id is not None
                        and tok == self.eos_token_id)
             out_of_room = self.lengths[slot] + 1 >= self.max_len
             if (len(req.generated) >= req.max_new_tokens or hit_eos
                     or out_of_room):
-                req.done = True
-                self.finished[req.req_id] = req
-                self.slot_req[slot] = None
-                self.lengths[slot] = 0
-                self.last_token[slot] = 0
+                self._finish(slot, req)
         return int(active_np.sum())
 
     def step_chunk(self, k: int = 16) -> int:
@@ -313,7 +390,10 @@ class ContinuousBatchingEngine:
         toks = jnp.asarray(self.last_token[:, None])
         toks_out, self.caches = self._step_chunk(
             self.iparams, toks, self.caches, jnp.asarray(self.lengths),
-            jnp.asarray(active_np), k=k_eff,
+            jnp.asarray(active_np), jnp.asarray(self.slot_keys),
+            jnp.asarray(self.gen_counts), jnp.asarray(self.temp),
+            jnp.asarray(self.top_k), jnp.asarray(self.top_p),
+            jnp.asarray(self.do_sample), k=k_eff,
         )
         toks_out = np.asarray(toks_out)  # (B, k_eff) — the one host sync
         for slot, req in enumerate(self.slot_req):
@@ -329,17 +409,14 @@ class ContinuousBatchingEngine:
                         or len(req.generated) >= req.max_new_tokens):
                     break
             self.lengths[slot] += taken
+            self.gen_counts[slot] += taken
             self.last_token[slot] = int(toks_out[slot, taken - 1])
             hit_eos = (self.eos_token_id is not None
                        and req.generated[-1] == self.eos_token_id)
             out_of_room = self.lengths[slot] + 1 >= self.max_len
             if (len(req.generated) >= req.max_new_tokens or hit_eos
                     or out_of_room):
-                req.done = True
-                self.finished[req.req_id] = req
-                self.slot_req[slot] = None
-                self.lengths[slot] = 0
-                self.last_token[slot] = 0
+                self._finish(slot, req)
         return int(active_np.sum())
 
     def run_until_done(self, max_steps: int = 10_000,

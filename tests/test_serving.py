@@ -89,6 +89,60 @@ class TestContinuousBatching:
                                           fin_b[rb].generated)
 
 
+class TestSampling:
+    def test_mixed_sampling_reproducible_and_chunk_invariant(self, setup):
+        """Slots with different sampling settings (greedy / temp / top-k /
+        top-p) interleaved in one batch: same seeds → same tokens, and
+        chunked decode == stepwise decode (the per-request fold_in stream
+        depends only on the token index)."""
+        cfg, params = setup
+        rng = np.random.default_rng(4)
+        prompts = [rng.integers(1, 200, (n,)).astype(np.int32)
+                   for n in (5, 7, 6, 4)]
+        kw = [dict(do_sample=False),
+              dict(do_sample=True, temperature=0.7),
+              dict(do_sample=True, top_k=5),
+              dict(do_sample=True, top_p=0.9, temperature=1.3)]
+
+        def run(chunk):
+            eng = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=2,
+                                           max_len=48, dtype=jnp.float32,
+                                           rng=jax.random.PRNGKey(11))
+            ids = [eng.submit(p, max_new_tokens=6, **k)
+                   for p, k in zip(prompts, kw)]
+            fin = eng.run_until_done(chunk=chunk)
+            return [fin[i].generated for i in ids]
+
+        a, b, c = run(1), run(1), run(4)
+        for ga, gb, gc in zip(a, b, c):
+            np.testing.assert_array_equal(ga, gb)
+            np.testing.assert_array_equal(ga, gc)
+        # the sampled slots actually sample (≥1 differs from greedy rerun)
+        eng_g = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=2,
+                                         max_len=48, dtype=jnp.float32,
+                                         rng=jax.random.PRNGKey(11))
+        idg = [eng_g.submit(p, max_new_tokens=6) for p in prompts]
+        fing = eng_g.run_until_done()
+        greedy = [fing[i].generated for i in idg]
+        assert any(ga != gg for ga, gg in zip(a[1:], greedy[1:]))
+
+    def test_greedy_first_token_in_generated(self, setup):
+        """`generated` must start with the token sampled from the prefill
+        logits (t_T0) — the serving oracle is InferenceEngine.generate."""
+        cfg, params = setup
+        rng = np.random.default_rng(5)
+        prompt = rng.integers(1, 200, (5,)).astype(np.int32)
+        eng = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=1,
+                                       max_len=32, dtype=jnp.float32)
+        rid = eng.submit(prompt, max_new_tokens=1)
+        fin = eng.run_until_done()
+        ref = InferenceEngine(params, cfg, bits=8, max_batch=1, max_len=32,
+                              dtype=jnp.float32)
+        want = np.asarray(ref.generate(prompt[None], max_new_tokens=1,
+                                       do_sample=False))[0, len(prompt):]
+        np.testing.assert_array_equal(fin[rid].generated, want)
+
+
 class TestPackedContinuousBatching:
     def test_packed_matches_dense_engine(self, setup):
         """kv_layout="packed" continuous batching (per-slot HBM kernel,
