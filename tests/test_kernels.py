@@ -12,6 +12,7 @@ from llm_qat_tpu.ops.attention import (
     flash_attention,
 )
 from llm_qat_tpu.ops.quant_matmul import (
+
     pack_int4,
     pack_int8,
     quant_matmul_int4,
@@ -20,6 +21,8 @@ from llm_qat_tpu.ops.quant_matmul import (
     quant_matmul_int8_reference,
     unpack_int4,
 )
+
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
 
 
 class TestPacking:

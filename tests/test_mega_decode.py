@@ -25,6 +25,9 @@ from llm_qat_tpu.ops.mega_decode import (
 )
 from llm_qat_tpu.train.calibration_manager import calibrate_weight_quantizers
 
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
+
+
 
 def _mega_config(rank=4):
     return SPModelConfig(
@@ -165,6 +168,75 @@ def test_bf16_tree_drop_in():
                                       np.asarray(want_k, np.float32))
         np.testing.assert_array_equal(np.asarray(vc, np.float32),
                                       np.asarray(want_v, np.float32))
+
+
+class TestEngineIntegration:
+    """kv_layout="mega" InferenceEngine == dense engine token-for-token."""
+
+    def _engines(self, rank=4, **kw):
+        from llm_qat_tpu.models.inference import InferenceEngine
+
+        cfg = _mega_config(rank)
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        params = calibrate_weight_quantizers(params, cfg)
+        dense = InferenceEngine(params, cfg, bits=8, max_batch=3, max_len=96,
+                                dtype=jnp.float32, weight_format="int8_xla",
+                                kv_layout="dense", **kw)
+        mega = InferenceEngine(params, cfg, bits=8, max_batch=3, max_len=96,
+                               dtype=jnp.float32, weight_format="int8_xla",
+                               kv_layout="mega", attn_interpret=True, **kw)
+        return cfg, dense, mega
+
+    def test_greedy_matches_dense(self):
+        cfg, dense, mega = self._engines()
+        rng = np.random.default_rng(0)
+        for T0 in (8, 5):
+            prompt = rng.integers(0, cfg.model.vocab_size, (2, T0))
+            a = np.asarray(dense.generate(prompt, max_new_tokens=6,
+                                          do_sample=False))
+            b = np.asarray(mega.generate(prompt, max_new_tokens=6,
+                                         do_sample=False))
+            np.testing.assert_array_equal(b, a, err_msg=f"T0={T0}")
+
+    def test_sampled_matches_dense(self):
+        cfg, dense, mega = self._engines()
+        rng = np.random.default_rng(1)
+        prompt = rng.integers(0, cfg.model.vocab_size, (2, 6))
+        r = jax.random.PRNGKey(9)
+        a = np.asarray(dense.generate(prompt, max_new_tokens=5,
+                                      do_sample=True, temperature=0.8,
+                                      top_k=7, rng=r))
+        b = np.asarray(mega.generate(prompt, max_new_tokens=5,
+                                     do_sample=True, temperature=0.8,
+                                     top_k=7, rng=r))
+        np.testing.assert_array_equal(b, a)
+
+    def test_int8_head_matches_dense(self):
+        cfg, dense, mega = self._engines(lm_head_int8=True)
+        rng = np.random.default_rng(2)
+        prompt = rng.integers(0, cfg.model.vocab_size, (3, 7))
+        a = np.asarray(dense.generate(prompt, max_new_tokens=5,
+                                      do_sample=False))
+        b = np.asarray(mega.generate(prompt, max_new_tokens=5,
+                                     do_sample=False))
+        np.testing.assert_array_equal(b, a)
+
+    def test_rejects_unpadded_width(self):
+        from llm_qat_tpu.models.inference import InferenceEngine
+
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=128, n_positions=64, n_embd=64,
+                             n_layer=1, n_head=2),
+            quant=QuantConfig(bit_widths=(8, 32),
+                              quantizer_per_bit={8: "minmax"},
+                              per_channel=False),
+            compute_dtype="float32",
+        )
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        params = calibrate_weight_quantizers(params, cfg)
+        with pytest.raises(ValueError, match="128"):
+            InferenceEngine(params, cfg, bits=8, weight_format="int8_xla",
+                            kv_layout="mega", dtype=jnp.float32)
 
 
 def test_pack_rejects_non_int8_tree():

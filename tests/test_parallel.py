@@ -24,6 +24,9 @@ from llm_qat_tpu.parallel import (
 from llm_qat_tpu.train import CalibrationManager
 from llm_qat_tpu.train.sp_trainer import make_sp_train_step
 
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
+
+
 
 @pytest.fixture(scope="module")
 def setup():

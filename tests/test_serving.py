@@ -11,6 +11,9 @@ from llm_qat_tpu.models import init_sp_params, tiny_test_config
 from llm_qat_tpu.models.inference import InferenceEngine
 from llm_qat_tpu.serving import ContinuousBatchingEngine
 
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
+
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -11,12 +11,15 @@ import jax.numpy as jnp
 import pytest
 
 from llm_qat_tpu.models import (
+
     init_sp_params,
     lm_cross_entropy,
     prec_tables,
     sp_forward,
     tiny_test_config,
 )
+
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
 
 
 @pytest.fixture(scope="module")

@@ -21,9 +21,12 @@ from llm_qat_tpu.train.distillation import (
     kl_distillation_loss,
 )
 from llm_qat_tpu.train.sp_trainer import (
+
     make_sp_train_step,
     trainable_mask,
 )
+
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
 
 
 class TestDistillationLosses:

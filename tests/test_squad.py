@@ -26,6 +26,9 @@ from llm_qat_tpu.models.qa import init_qa_params, qa_forward, qa_loss_fn
 from llm_qat_tpu.train import CalibrationManager
 from llm_qat_tpu.train.squad_trainer import make_squad_train_step, qa_kl_loss
 
+pytestmark = pytest.mark.slow  # heavy tier; `-m 'not slow'` is the smoke set
+
+
 
 class TestMetrics:
     def test_normalize(self):
