@@ -205,3 +205,56 @@ def pipeline_sp_forward(
     if labels is not None:
         out["loss"] = lm_cross_entropy(logits, labels)
     return out
+
+
+def make_pp_train_step(cfg, tcfg, mesh: Mesh, *,
+                       tables: Optional[PrecTables] = None,
+                       n_microbatches: Optional[int] = None,
+                       axis_name: str = "pipe",
+                       batch_axis_name: Optional[str] = None):
+    """Training THROUGH the GPipe schedule: (init_state, train_step).
+
+    Single-precision CE training (the CPT-style loop, reference
+    `part2_cyclic_precision_training/main_cpt.py:30-62`) with the blocks
+    pipeline-parallel: `train_step(state, ids, prec)` computes the shifted
+    CE loss of `pipeline_sp_forward`, backprops through the ppermute/scan
+    schedule (gradients come back sharded over `axis_name` like the
+    parameters), and applies AdamW over the trainable leaves only (same
+    freeze mask as the SP trainer). Exercised on the virtual mesh by
+    `__graft_entry__.dryrun_multichip`.
+    """
+    import optax
+
+    from ..train.sp_trainer import trainable_mask
+
+    tables_ = tables if tables is not None else prec_tables(cfg.quant)
+    opt = optax.chain(
+        optax.clip_by_global_norm(tcfg.max_grad_norm),
+        optax.adamw(tcfg.learning_rate),
+    )
+
+    def _masked(params):
+        labels = jax.tree.map(
+            lambda m: "train" if m else "freeze", trainable_mask(params))
+        return optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels)
+
+    def init_state(params):
+        return params, _masked(params).init(params)
+
+    def train_step(state, ids, prec):
+        params, opt_state = state
+
+        def loss_fn(p):
+            return pipeline_sp_forward(
+                p, ids, prec, cfg, mesh, labels=ids, tables=tables_,
+                n_microbatches=n_microbatches, axis_name=axis_name,
+                batch_axis_name=batch_axis_name)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = _masked(params).update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), {
+            "loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return init_state, train_step

@@ -86,11 +86,18 @@ class SPTrainState(NamedTuple):
 
 
 def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
-                       tables: Optional[PrecTables] = None):
+                       tables: Optional[PrecTables] = None,
+                       attention_fn=None):
     """Build (init_state, train_step) for the SP multi-precision loop.
 
     `train_step(state, batch_ids, rng)` returns (state, metrics) and is safe
     to jit/pjit; precision sampling happens inside with `jax.random`.
+
+    `attention_fn` is forwarded to `sp_forward` — pass
+    `partial(ring_attention, mesh=mesh, axis_name=...)` to train with
+    context-parallel (sequence-sharded) attention inside the same jitted
+    step (see `parallel/cp_forward.py`; exercised by
+    `__graft_entry__.dryrun_multichip`).
     """
     q = cfg.quant
     tables = tables if tables is not None else prec_tables(q)
@@ -136,7 +143,7 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
         out = sp_forward(
             params, ids, jnp.int32(teacher_slot), cfg, tables=tables,
             labels=ids, deterministic=False, dropout_rng=rng,
-            output_hidden_states=True,
+            output_hidden_states=True, attention_fn=attention_fn,
         )
         aux = TeacherOutputs(
             logits=jax.lax.stop_gradient(out["logits"]),
@@ -148,6 +155,7 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
         out = sp_forward(
             params, ids, prec, cfg, tables=tables, deterministic=False,
             dropout_rng=rng, output_hidden_states=True,
+            attention_fn=attention_fn,
         )
         loss = distillation_loss(
             out["logits"], out["hidden_states"], teacher, layer_idx,
