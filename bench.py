@@ -6,18 +6,18 @@ anywhere"; its decode recomputes the full prefix per token,
 `part1_switchable_precision/models_sp.py:460-507`), so vs_baseline is null
 and the recorded tokens/s/chip series is the round-over-round target.
 
-Path under test (`llm_qat_tpu/models/inference.py`, `weight_format=
-"int8_xla"`): int8 weight codes on the calibrated minmax grid (bit-identical
-to the fake-quant weights — see test_inference.py), s8xs8->s32 MXU matmuls
-with the activation quantize fused into the prologue, int8 weight-tied LM
-head, python-unrolled layers, per-layer donated bf16 KV caches, decode under
-one jitted lax.scan. Weight HBM traffic is half of the bf16 path; measured
-+23% tok/s over it (docs/RESULTS_R1.md has the progression). Completion is
-forced with a host transfer (block_until_ready is unreliable through the
-axon tunnel with donated buffers).
+Path under test: the whole-model decode MEGAKERNEL (`ops/mega_decode.py`)
+behind `InferenceEngine(kv_layout="mega")` — every transformer layer of a
+decode step in ONE grid-pipelined Pallas call (int8 weight-tile streaming
+double-buffered under compute, HBM-resident head-interleaved KV caches,
+in-kernel online-softmax attention, factored bf16 LoRA), plus the int8
+weight-tied LM head. Round-3 measurement: 16.8k tok/s vs 13.4k on the
+round-2 unfused path (scripts/mega_tpu_check.py has the comparison and the
+teacher-forced parity bound). Completion is forced with a host transfer
+(block_until_ready is unreliable through the axon tunnel with donated
+buffers).
 """
 
-import functools
 import json
 import time
 
@@ -32,9 +32,11 @@ def main():
         GPT2Config, QuantConfig, SPModelConfig, init_sp_params,
     )
     from llm_qat_tpu.models.inference import (
-        infer_forward_unrolled, init_layer_caches, quantize_for_inference,
+        InferenceEngine, init_layer_caches,
     )
-    from llm_qat_tpu.train.calibration_manager import calibrate_weight_quantizers
+    from llm_qat_tpu.train.calibration_manager import (
+        calibrate_input_quantizers, calibrate_weight_quantizers,
+    )
 
     B = 8
     PROMPT = 64
@@ -54,48 +56,41 @@ def main():
     )
     params = init_sp_params(jax.random.PRNGKey(0), cfg)
     params = calibrate_weight_quantizers(params, cfg)
-    iparams = quantize_for_inference(params, cfg, 8, dtype=jnp.bfloat16,
-                                     weight_format="int8_xla",
-                                     lm_head_int8=True)
-    static = iparams.pop("_static")  # static precision → cond-free kernels
+    crng = np.random.default_rng(5)
+    cal = [jnp.asarray(crng.integers(0, cfg.model.vocab_size, (2, 64)))
+           for _ in range(3)]
+    params = calibrate_input_quantizers(params, cfg, cal)
+
+    eng = InferenceEngine(params, cfg, bits=8, max_batch=B,
+                          max_len=PROMPT + NEW, weight_format="int8_xla",
+                          lm_head_int8=True, kv_layout="mega")
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.model.vocab_size, (B, PROMPT)))
-    T_max = PROMPT + NEW
 
-    @jax.jit
-    def prefill(iparams, ids, caches):
-        return infer_forward_unrolled(iparams, ids, cfg, caches, jnp.int32(0),
-                                      static=static)
+    # dense-cache prefill once; decode timing excludes prefill and the
+    # one-time row-major cache conversion
+    T_all = -(-(PROMPT + NEW) // 32) * 32
+    caches = init_layer_caches(cfg, B, T_all, jnp.bfloat16,
+                               kv_layout="dense")
+    logits, caches, _ = eng._prefill(eng.iparams, prompt, caches)
+    kc, vc = eng._to_mega(caches)
+    logits0 = logits[:, -1]
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def decode_n(iparams, tok0, caches, length0):
-        def body(carry, i):
-            tok, caches = carry
-            logits, caches, _ = infer_forward_unrolled(
-                iparams, tok, cfg, caches, length0 + i, static=static)
-            nxt = jnp.argmax(logits[:, -1:], axis=-1)
-            return (nxt, caches), nxt[:, 0]
+    def decode(kc, vc):
+        toks, kc, vc = eng._decode_mega(
+            eng.iparams, eng.mega, logits0, kc, vc, jnp.int32(PROMPT),
+            jax.random.PRNGKey(0), n_new=NEW, temperature=1.0, top_k=None,
+            top_p=None, do_sample=False, eos_token_id=None)
+        np.asarray(toks)  # host transfer forces completion
+        return kc, vc
 
-        (_, caches), toks = jax.lax.scan(body, (tok0, caches), jnp.arange(NEW))
-        return toks, caches
-
-    # packed (B, H, T/2, 2·head_dim) caches + the length-aware HBM decode-
-    # attention kernel: unpadded bf16 rows (head_dim 64 is tile-padded to
-    # 128 lanes otherwise) and per-step cache traffic ~ live prefix instead
-    # of XLA's ~3x T_max (docs/RESULTS_R1.md).
-    caches = init_layer_caches(cfg, B, T_max, kv_layout="packed")
-    logits, caches, _ = prefill(iparams, prompt, caches)
-    tok0 = jnp.argmax(logits[:, -1:], axis=-1)
-
-    toks, caches = decode_n(iparams, tok0, caches, jnp.int32(PROMPT))
-    np.asarray(toks)  # warmup + force completion
+    kc, vc = decode(kc, vc)  # warmup/compile
 
     n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        toks, caches = decode_n(iparams, tok0, caches, jnp.int32(PROMPT))
-        np.asarray(toks)
+        kc, vc = decode(kc, vc)
     dt = (time.perf_counter() - t0) / n_rep
 
     tps = B * NEW / dt

@@ -88,6 +88,37 @@ def _int8_dot(x, w_i8, w_s, x_s=None):
     return acc.astype(jnp.float32) * (x_s * w_s)  # x_s () or (..., 1, 1)
 
 
+def _int4_dot(x, w_i4, w_s, x_s, qmax: float = 7.0):
+    """x (..., K) float @ dequant(nibble-packed w_i4 (K/2, N)) on the s8 MXU.
+
+    Plane packing along K: byte row k holds code row k in its LOW nibble and
+    code row k + K/2 in its HIGH nibble — so the two planes are recovered by
+    arithmetic shifts with NO row interleave, and the product is two
+    s8xs8->s32 dots over the K-halves of the activation codes:
+        acc = qx[:, :K/2] @ lo(p) + qx[:, K/2:] @ hi(p)
+    Weight HBM traffic is HALF the int8 path (the decode bottleneck).
+    Activations quantize onto the calibrated minmax-`bits` grid (codes in
+    ±qmax, stored int8 — exact for the ≤4-bit minmax default,
+    `models/config.py::default_quantizer_kind`). The reference's W4 numbers
+    (`Report….md:7-13` INT4 row) use this weight grid; it never had a true
+    int4 runtime.
+    """
+    xf = x.astype(jnp.float32)
+    qx = jnp.clip(jnp.round(xf / x_s), -qmax, qmax).astype(jnp.int8)
+    K2 = w_i4.shape[0]
+    wi = w_i4.astype(jnp.int32)
+    lo = ((wi << 28) >> 28).astype(jnp.int8)  # sign-extended low nibble
+    hi = (wi >> 4).astype(jnp.int8)           # arithmetic: high nibble
+    nd = qx.ndim - 1
+    acc = jax.lax.dot_general(
+        qx[..., :K2], lo, (((nd,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(
+        qx[..., K2:], hi, (((nd,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (x_s * w_s)
+
+
 def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
                            dtype=jnp.bfloat16,
                            weight_format: str = "dense",
@@ -120,7 +151,34 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
             "iq_scale": lin["iq_scale"][:, p_idx],
             "iq_zp": lin["iq_zp"][:, p_idx],
         }
-        if weight_format in ("int8", "int8_xla"):
+        if weight_format == "int4_xla":
+            # nibble-packed W4 deployment format (BASELINE.md north star:
+            # INT4+LoRA decode). Exact on the calibrated minmax-4 grid:
+            # round(wq/s) recovers codes in ±7; two codes pack per byte with
+            # K-halves plane packing (`_int4_dot` doc). Static calibrated
+            # activation scale — A4 codes in ±7 ride the same s8 MXU path.
+            if not (q.symmetric and q.kind_name(bits) == "minmax"
+                    and bits <= 4):
+                raise ValueError(
+                    "int4_xla needs the symmetric minmax ≤4-bit "
+                    f"configuration; got bits={bits} "
+                    f"kind={q.kind_name(bits)} symmetric={q.symmetric}")
+            ws = lin["wq_scale"][:, p_idx]  # (L, out) or (L,)
+            wsb = ws[:, None, :] if ws.ndim == 2 else ws[:, None, None]
+            codes = jnp.round(wq / jnp.maximum(wsb, 1e-12)).astype(jnp.int8)
+            K = codes.shape[1]
+            if K % 2:
+                raise ValueError("int4 packing needs an even input dim")
+            lo = codes[:, :K // 2]
+            hi = codes[:, K // 2:]
+            out["w_i4"] = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+            out["w_s"] = ws
+            iq = lin["iq_scale"][:, p_idx]
+            out["x_s"] = iq if iq.ndim == 1 else jnp.max(iq, axis=-1)
+            # per-layer so tree-wide `a[li]` layer slicing works
+            out["qmax"] = jnp.full((wq.shape[0],),
+                                   2.0 ** (bits - 1) - 1.0, jnp.float32)
+        elif weight_format in ("int8", "int8_xla"):
             # int8 codes + per-out-channel scale; EXACT for minmax-kind
             # precisions (fake-quanted values sit on the int grid), a second
             # 8-bit re-quantization for log-kind (adds ~scale/2 error). Halves
@@ -240,6 +298,10 @@ def _lora_branch(x, lin):
 def _infer_linear(x, lin, bits, kind, cfg: SPModelConfig, quantize_input: bool,
                   static: "StaticMeta" = None):
     q = cfg.quant
+    if "w_i4" in lin:
+        out = _int4_dot(x, lin["w_i4"], lin["w_s"], lin["x_s"],
+                        qmax=lin["qmax"]) + lin["b"]
+        return out + _lora_branch(x, lin)
     if "w_i8" in lin:
         # int8_xla format: activation quant is the int8 quant fused inside
         # _int8_dot (calibrated static scale when available, else dynamic) —
@@ -672,6 +734,9 @@ class InferenceEngine:
 
             m = cfg.model
             has_lora = self._has_lora
+            _ca = self.iparams["blocks"]["c_attn"]
+            aq_max = (float(np.asarray(_ca["qmax"])[0])
+                      if "qmax" in _ca else 127.0)
 
             @jax.jit
             def _to_mega(caches):
@@ -718,7 +783,7 @@ class InferenceEngine:
                         h, mw, kc, vc, pos, n_head=m.n_head,
                         head_dim=m.head_dim, has_lora=has_lora,
                         eps=m.layer_norm_epsilon, act_dtype=dtype,
-                        interpret=attn_interpret)
+                        aq_max=aq_max, interpret=attn_interpret)
                     hf = _ln(h_out[:, None, :].astype(dtype),
                              iparams["ln_f"]["g"], iparams["ln_f"]["b"],
                              m.layer_norm_epsilon)

@@ -67,7 +67,9 @@ N_TILES = 12  # 3 qkv + 1 attn-proj + 4 fc + 4 mlp-proj partials
 class MegaWeights(NamedTuple):
     """Stacked per-(layer, tile) operand banks for the megakernel."""
 
-    wt: jax.Array      # (L, 12, d, d) int8 weight tiles
+    wt: jax.Array      # (L, 12, d, d) int8 tiles — or (L, 12, d/2, d)
+    #                    nibble-packed int4 tiles (K-halves plane packing,
+    #                    `models/inference.py::_int4_dot` layout, per tile)
     ws: jax.Array      # (L, 12, 1, d) f32 per-out-channel dequant scales
     bias: jax.Array    # (L, 12, 1, d) f32 (mlp bias only on tile 11)
     at: jax.Array      # (L, 12, d, r) LoRA A tiles (zeros where unused)
@@ -77,24 +79,39 @@ class MegaWeights(NamedTuple):
 
 
 def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
-    """Build the tiled operand banks from an `int8_xla` inference tree.
+    """Build the tiled operand banks from an `int8_xla` or `int4_xla` tree.
 
-    Requires `quantize_for_inference(..., weight_format="int8_xla")` output
-    with static activation scales (`x_s`) on every linear — i.e. the
-    symmetric-minmax per-tensor deployment configuration.
+    Requires `quantize_for_inference(..., weight_format="int8_xla")` (or
+    "int4_xla") output with static activation scales (`x_s`) on every
+    linear — i.e. the symmetric-minmax per-tensor deployment configuration.
+    For int4 trees the whole-matrix K-halves packing is re-tiled into
+    PER-TILE K-halves packing so each (d, d) weight tile streams as a
+    (d/2, d) byte block (half the int8 path's weight HBM traffic).
     """
     m = cfg.model
     d, ff = m.n_embd, 4 * m.n_embd
     blocks = iparams["blocks"]
+    is_int4 = "w_i4" in blocks["c_attn"]
+    wkey = "w_i4" if is_int4 else "w_i8"
     for name in ("c_attn", "attn_proj", "c_fc", "mlp_proj"):
         lin = blocks[name]
-        if "w_i8" not in lin or "x_s" not in lin:
+        if wkey not in lin or "x_s" not in lin:
             raise ValueError(
-                f"mega decode needs int8_xla weights with static activation "
-                f"scales; linear {name!r} has keys {sorted(lin)}")
-    if blocks["c_fc"]["w_i8"].shape[2] != ff:
+                f"mega decode needs int8_xla/int4_xla weights with static "
+                f"activation scales; linear {name!r} has keys {sorted(lin)}")
+
+    def unpack4(p):  # (L, K/2, N) packed -> (L, K, N) int8 codes
+        wi = p.astype(jnp.int32)
+        lo = ((wi << 28) >> 28).astype(jnp.int8)
+        hi = (wi >> 4).astype(jnp.int8)
+        return jnp.concatenate([lo, hi], axis=1)
+
+    def codes(lin):
+        return unpack4(lin["w_i4"]) if is_int4 else lin["w_i8"]
+
+    if codes(blocks["c_fc"]).shape[2] != ff:
         raise ValueError("mega decode assumes d_ff == 4*d_model")
-    L = blocks["c_attn"]["w_i8"].shape[0]
+    L = blocks["c_attn"][wkey].shape[0]
 
     def outvec(x, n):
         # per-out-channel (L, n) or per-tensor (L,)/(L, 1) -> (L, n) f32
@@ -112,9 +129,18 @@ def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
         n = w.shape[1] // d
         return [w[:, i * d:(i + 1) * d, :] for i in range(n)]
 
-    wt = jnp.stack(
-        tiles_out(qkv["w_i8"]) + [proj["w_i8"]] + tiles_out(fc["w_i8"])
-        + tiles_in(mlp["w_i8"]), axis=1)
+    tile_list = (tiles_out(codes(qkv)) + [codes(proj)]
+                 + tiles_out(codes(fc)) + tiles_in(codes(mlp)))
+    if is_int4:
+        # per-tile K-halves repack: rows [0, d/2) in low nibbles, rows
+        # [d/2, d) in high nibbles of a (L, d/2, d) byte tile
+        def pack_tile(t):
+            lo = t[:, :d // 2].astype(jnp.int8)
+            hi = t[:, d // 2:].astype(jnp.int8)
+            return ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+
+        tile_list = [pack_tile(t) for t in tile_list]
+    wt = jnp.stack(tile_list, axis=1)
 
     def vec_tiles(v, n):  # (L, n*d) -> n x (L, d)
         return [v[:, i * d:(i + 1) * d] for i in range(n)]
@@ -172,8 +198,8 @@ def _ln_f32(x, g, b, eps):
     return g * (x - mean) * jax.lax.rsqrt(var + eps) + b
 
 
-def _q8(x, xs):
-    return _clamp(_rne(x / xs), -127.0, 127.0).astype(jnp.int8)
+def _q8(x, xs, qmax=127.0):
+    return _clamp(_rne(x / xs), -qmax, qmax).astype(jnp.int8)
 
 
 def _erf(z):
@@ -195,8 +221,13 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
                  o_ref, kc, vc,
                  qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
                  kbuf, vbuf, rmwk, rmwv, sem, rsem,
-                 *, eps, sm_scale, tbp, B, H, has_lora, act_dtype):
-    """Grid (n_layer, 12); one (d, d) weight tile per step (see module doc)."""
+                 *, eps, sm_scale, tbp, B, H, has_lora, act_dtype,
+                 wbits=8, aq_max=127.0):
+    """Grid (n_layer, 12); one (d, d) weight tile per step (see module doc).
+
+    wbits=4: `wt` tiles are (d/2, d) nibble-packed (per-tile K-halves);
+    the dot splits into two s8 MXU dots over the activation-code halves.
+    aq_max: activation code clamp (127 for A8, 7 for A4)."""
     del kc_in, vc_in  # aliased to kc/vc
     l = pl.program_id(0)
     t = pl.program_id(1)
@@ -224,11 +255,22 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
         r = (u + 0x7FFF + ((u >> 16) & 1)) & jnp.int32(-65536)
         return pltpu.bitcast(r, jnp.float32)
 
-    w_tile = wt_ref[0, 0]           # (d, d) int8
+    w_tile = wt_ref[0, 0]           # (d, d) int8 — or (d/2, d) packed int4
     w_s = ws_ref[0, 0]              # (1, d) f32
     b_t = bias_ref[0, 0]            # (1, d) f32
 
     def i8dot(qx):
+        if wbits == 4:
+            wi = w_tile.astype(jnp.int32)
+            lo = ((wi << 28) >> 28).astype(jnp.int8)
+            hi = (wi >> 4).astype(jnp.int8)
+            d2 = d // 2
+            acc = jax.lax.dot_general(
+                qx[:, :d2], lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc + jax.lax.dot_general(
+                qx[:, d2:], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
         return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
 
@@ -241,7 +283,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
     def _():
         hn = _rt(_ln_f32(o_ref[:], ln_ref[0, 0:1, :], ln_ref[0, 1:2, :],
                          eps))
-        qx_s[:] = _q8(hn, xs_ref[l, 0])
+        qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
         if has_lora:
             # xa for the qkv phase; parked in xam_s row 0 until t==2
             xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, 0],
@@ -369,7 +411,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
         wv.wait()
 
         # ---- attn-proj tile + residual + LN2 --------------------------
-        proj = (i8dot(_q8(attn2d, xs_ref[l, 1])).astype(jnp.float32)
+        proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
                 * (xs_ref[l, 1] * w_s) + b_t)
         if has_lora:
             xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, 0],
@@ -383,7 +425,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
     # ---- t == 4..7: fc out-tile + GELU --------------------------------
     @pl.when(t == 4)
     def _():
-        qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2])
+        qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
         if has_lora:
             xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, 0],
                                preferred_element_type=jnp.float32)
@@ -400,9 +442,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
     @pl.when(t >= 8)
     def _():
         g_chunk = g_s[t - 8]
-        part_dot = jax.lax.dot_general(
-            _q8(g_chunk, xs_ref[l, 3]), w_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
         if has_lora:
             xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, 0],
                           preferred_element_type=jnp.float32)
@@ -430,7 +470,8 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
 def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
                      n_head: int, head_dim: int, has_lora: bool,
                      eps: float = 1e-5, tbp: int = 32,
-                     act_dtype=jnp.bfloat16, interpret: bool = False):
+                     act_dtype=jnp.bfloat16, aq_max: float = 127.0,
+                     interpret: bool = False):
     """Run every transformer layer of one decode step in one Pallas call.
 
     h: (B, d) f32 post-embedding hidden state (single token per sequence).
@@ -467,9 +508,14 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
     # one-hot head mask: lane i belongs to head i // head_dim
     hm = (jnp.arange(d) // D == jnp.arange(H)[:, None]).astype(jnp.float32)
 
+    dk = mw.wt.shape[2]  # d for int8 tiles, d//2 for packed int4 tiles
+    wbits = 4 if dk == d // 2 else 8
+    assert dk in (d, d // 2), (dk, d)
+
     kernel = functools.partial(
         _mega_kernel, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
-        has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type)
+        has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
+        wbits=wbits, aq_max=float(aq_max))
 
     grid = (L, N_TILES)
     out, kc, vc = pl.pallas_call(
@@ -482,7 +528,7 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
                          memory_space=pltpu.VMEM),            # h
             pl.BlockSpec((H, d), lambda l, t: (0, 0),
                          memory_space=pltpu.VMEM),            # head mask
-            pl.BlockSpec((1, 1, d, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, 1, dk, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # wt
             pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # ws

@@ -87,6 +87,76 @@ class TestPrequantizedEquivalence:
         np.testing.assert_allclose(np.asarray(got), want, rtol=0.1, atol=0.15)
 
 
+@pytest.fixture(scope="module")
+def setup_pt():
+    """Per-tensor quantization (the deployment/eval mode the int-serving
+    formats target; reference forces per-tensor at eval load,
+    `main_sp_eval.py:60`). The int4/int8 static activation scale is exact
+    only in this mode — per-channel input quantizers are approximated by
+    their max."""
+    import dataclasses
+
+    cfg = tiny_test_config((4, 8, 32))
+    cfg = dataclasses.replace(
+        cfg, quant=dataclasses.replace(cfg.quant, per_channel=False))
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batches = [jnp.asarray(rng.integers(0, cfg.model.vocab_size, (2, 16)))
+               for _ in range(2)]
+    mgr = CalibrationManager(cfg, 2)
+    params = mgr.calibrate_all_precisions(params, batches)
+    return cfg, params, prec_tables(cfg.quant), batches
+
+
+class TestInt4Format:
+    """weight_format="int4_xla": nibble-packed W4 deployment (VERDICT r2
+    missing #2 / BASELINE.md north star). Exact on the minmax-4 grid."""
+
+    def test_codes_roundtrip_exact(self, setup):
+        cfg, params, tables, batches = setup
+        i4 = quantize_for_inference(params, cfg, 4, dtype=jnp.float32,
+                                    weight_format="int4_xla")
+        dense = quantize_for_inference(params, cfg, 4, dtype=jnp.float32)
+        blocks4, blocksd = i4["blocks"], dense["blocks"]
+        for name in ("c_attn", "attn_proj", "c_fc", "mlp_proj"):
+            p = np.asarray(blocks4[name]["w_i4"]).astype(np.int32)
+            lo = ((p << 28) >> 28)
+            hi = (p >> 4)
+            codes = np.concatenate([lo, hi], axis=1).astype(np.float32)
+            ws = np.asarray(blocks4[name]["w_s"], np.float32)
+            wsb = ws[:, None, :] if ws.ndim == 2 else ws[:, None, None]
+            wq = np.asarray(blocksd[name]["w_q"], np.float32)
+            assert np.abs(codes).max() <= 7
+            np.testing.assert_allclose(codes * wsb, wq, rtol=1e-6,
+                                       atol=1e-7, err_msg=name)
+
+    def test_forward_matches_training_path(self, setup_pt):
+        from llm_qat_tpu.models.inference import (
+            infer_forward_unrolled, init_layer_caches,
+        )
+
+        cfg, params, tables, batches = setup_pt
+        ids = batches[0][:, :12]
+        want = np.asarray(
+            sp_forward(params, ids, cfg.quant.prec_index(4), cfg,
+                       tables=tables)["logits"])
+        i4 = quantize_for_inference(params, cfg, 4, dtype=jnp.float32,
+                                    weight_format="int4_xla")
+        static = i4.pop("_static")
+        caches = init_layer_caches(cfg, ids.shape[0], 16, dtype=jnp.float32)
+        got, _, _ = infer_forward_unrolled(i4, ids, cfg, caches,
+                                           jnp.int32(0), static=static)
+        # int32 accumulation vs the f32 fake-quant dots: tiny rounding gap
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3,
+                                   atol=2e-3)
+
+    def test_rejects_non_minmax_bits(self, setup):
+        cfg, params, tables, batches = setup
+        with pytest.raises(ValueError, match="int4_xla"):
+            quantize_for_inference(params, cfg, 8, dtype=jnp.float32,
+                                   weight_format="int4_xla")
+
+
 class TestUnrolledDecode:
     def test_unrolled_matches_scan_path(self, setup):
         from llm_qat_tpu.models.inference import (

@@ -170,22 +170,78 @@ def test_bf16_tree_drop_in():
                                       np.asarray(want_v, np.float32))
 
 
+def test_int4_matches_unfused_path():
+    """int4_xla megakernel (nibble-packed tiles, split s8 dots) vs the
+    unfused `_int4_dot` serving path — bit-exact on an f32 tree."""
+    cfg = _mega_config(4)
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    iparams = quantize_for_inference(params, cfg, 4, dtype=jnp.float32,
+                                     weight_format="int4_xla")
+    static = iparams.pop("_static")
+    m = cfg.model
+    B, steps, T_max = 2, 4, 128
+    mw = pack_mega_weights(iparams, cfg)
+    assert mw.wt.shape == (m.n_layer, N_TILES, m.n_embd // 2, m.n_embd)
+
+    rng = np.random.default_rng(2)
+    toks = jnp.asarray(rng.integers(0, m.vocab_size, (B, steps)))
+    ref_caches = init_layer_caches(cfg, B, T_max, kv_layout="packed")
+    kc = jnp.zeros((m.n_layer, B, T_max, m.n_embd), jnp.bfloat16)
+    vc = jnp.zeros_like(kc)
+
+    for step in range(steps):
+        ids = toks[:, step:step + 1]
+        pos = jnp.int32(step)
+        want, ref_caches, _ = infer_forward_unrolled(
+            iparams, ids, cfg, ref_caches, pos, static=static,
+            attn_interpret=True)
+        h = (iparams["wte"][ids[:, 0]]
+             + iparams["wpe"][step][None]).astype(jnp.float32)
+        h_out, kc, vc = mega_decode_step(
+            h, mw, kc, vc, pos, n_head=m.n_head, head_dim=m.head_dim,
+            has_lora=True, act_dtype=jnp.float32, aq_max=7.0,
+            interpret=True)
+        from llm_qat_tpu.models.inference import _ln
+
+        hf = _ln(h_out[:, None, :], iparams["ln_f"]["g"],
+                 iparams["ln_f"]["b"], m.layer_norm_epsilon)
+        got = jnp.dot(hf, iparams["wte"].T.astype(hf.dtype),
+                      preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"step {step}")
+
+
 class TestEngineIntegration:
     """kv_layout="mega" InferenceEngine == dense engine token-for-token."""
 
-    def _engines(self, rank=4, **kw):
+    def _engines(self, rank=4, weight_format="int8_xla", bits=8, **kw):
         from llm_qat_tpu.models.inference import InferenceEngine
 
         cfg = _mega_config(rank)
         params = init_sp_params(jax.random.PRNGKey(0), cfg)
         params = calibrate_weight_quantizers(params, cfg)
-        dense = InferenceEngine(params, cfg, bits=8, max_batch=3, max_len=96,
-                                dtype=jnp.float32, weight_format="int8_xla",
+        dense = InferenceEngine(params, cfg, bits=bits, max_batch=3,
+                                max_len=96, dtype=jnp.float32,
+                                weight_format=weight_format,
                                 kv_layout="dense", **kw)
-        mega = InferenceEngine(params, cfg, bits=8, max_batch=3, max_len=96,
-                               dtype=jnp.float32, weight_format="int8_xla",
+        mega = InferenceEngine(params, cfg, bits=bits, max_batch=3,
+                               max_len=96, dtype=jnp.float32,
+                               weight_format=weight_format,
                                kv_layout="mega", attn_interpret=True, **kw)
         return cfg, dense, mega
+
+    def test_int4_engine_matches_dense(self):
+        cfg, dense, mega = self._engines(weight_format="int4_xla", bits=4)
+        rng = np.random.default_rng(3)
+        for T0 in (8, 5):
+            prompt = rng.integers(0, cfg.model.vocab_size, (2, T0))
+            a = np.asarray(dense.generate(prompt, max_new_tokens=6,
+                                          do_sample=False))
+            b = np.asarray(mega.generate(prompt, max_new_tokens=6,
+                                         do_sample=False))
+            np.testing.assert_array_equal(b, a, err_msg=f"T0={T0}")
 
     def test_greedy_matches_dense(self):
         cfg, dense, mega = self._engines()
