@@ -38,6 +38,12 @@ def build_arg_parser():
     p.add_argument("--checkpoint", default=None,
                    help="resume checkpoint (unlike the reference's dead flag, "
                         "main_sp.py:146-148, this one is honored)")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="async elastic checkpoint every N iterations "
+                        "(params + optimizer state; 0 disables)")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the newest elastic checkpoint in "
+                        "OUTPUT_DIR/elastic (preemption-restart flow)")
     return p
 
 
@@ -122,9 +128,21 @@ def main(argv=None):
     step_fn = jax.jit(train_step)
     stats = StatsTracker(cfg.quant.bit_widths)
 
+    ckpt_mgr, start_iter = None, 0
+    if args.save_every > 0 or args.auto_resume:
+        from ..deploy.elastic import AsyncCheckpointManager
+
+        ckpt_mgr = AsyncCheckpointManager(out_dir / "elastic")
+        if args.auto_resume:
+            restored = ckpt_mgr.restore_latest(state)
+            if restored is not None:
+                saved_it, state, _ = restored
+                start_iter = saved_it + 1  # that iteration completed
+                print(f"auto-resumed from elastic step {saved_it}")
+
     rng = jax.random.PRNGKey(args.seed + 1)
     batch_iter = None
-    for it in range(tcfg.num_iterations):
+    for it in range(start_iter, tcfg.num_iterations):
         if batch_iter is None:
             batch_iter = train_ds.batches(tcfg.batch_size, shuffle=True,
                                           seed=it)
@@ -156,7 +174,12 @@ def main(argv=None):
                                                 for k, v in evals.items()}})
             print(f"  eval@{it}: " + " ".join(
                 f"{b}bit={v:.3f}" for b, v in evals.items()))
+        if ckpt_mgr is not None and args.save_every > 0 \
+                and it % args.save_every == 0:
+            ckpt_mgr.save(it, state)
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
     paths = save_per_bit_checkpoints(out_dir, state.params, cfg)
     stats_path = stats.save(str(out_dir / f"training_stats_{int(time.time())}.json"),
                             cfg, tcfg)

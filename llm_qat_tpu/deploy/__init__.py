@@ -1,5 +1,6 @@
-"""Deployment: checkpoints, per-bit exports, true-INT8 packing."""
+"""Deployment: checkpoints, per-bit exports, true-INT8 packing, elastic."""
 
+from .elastic import AsyncCheckpointManager
 from .checkpoint import (
     export_int8,
     load_checkpoint,
@@ -8,6 +9,7 @@ from .checkpoint import (
 )
 
 __all__ = [
+    "AsyncCheckpointManager",
     "export_int8",
     "load_checkpoint",
     "save_checkpoint",

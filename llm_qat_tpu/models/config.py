@@ -154,6 +154,12 @@ class SPModelConfig:
     model: GPT2Config = field(default_factory=GPT2Config)
     quant: QuantConfig = field(default_factory=QuantConfig)
     compute_dtype: str = "float32"  # "bfloat16" on TPU for matmul inputs
+    # "auto": flash attention (Pallas, trainable VJP) on TPU whenever the
+    # shape allows (no mask, T % 128 == 0, head_dim 64/128), dense
+    # elsewhere; "dense"/"flash" force. Measured on v5e (scripts notes in
+    # docs/RESULTS_R3.md): flash beats the dense T×T softmax at every
+    # training/prefill length incl. T=256 with the retuned block sizes.
+    attention_impl: str = "auto"
 
     def replace(self, **kw) -> "SPModelConfig":
         return dataclasses.replace(self, **kw)

@@ -383,11 +383,30 @@ def init_layer_caches(cfg: SPModelConfig, batch: int, max_len: int,
     return tuple(jnp.zeros(shape, dtype) for _ in range(2 * m.n_layer))
 
 
+def _flash_prefill_attn(qh, kh, vh, attn_interpret):
+    """Initial-prefill attention via the flash kernel (cache prefix empty,
+    so attending the fresh kh/vh IS the full causal attention). Pads the
+    sequence to a 128 multiple — padded keys sit at future positions no
+    real query attends, padded query rows are sliced off."""
+    from ..ops.attention import flash_attention, flash_blocks
+
+    S = qh.shape[2]
+    Sp = -(-S // 128) * 128
+    if Sp != S:
+        pad = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
+        qh, kh, vh = (jnp.pad(t, pad) for t in (qh, kh, vh))
+    bq, bk = flash_blocks(Sp)
+    out = flash_attention(qh, kh, vh, block_q=bq, block_k=bk,
+                          interpret=attn_interpret)
+    return out[:, :, :S]
+
+
 def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
                            length, *, quantize_input: bool = True,
                            static: Optional[StaticMeta] = None,
                            fused_attention: bool = False,
                            fused_linears: bool = False,
+                           initial_prefill: bool = False,
                            attn_interpret: bool = False):
     """Decode-optimized forward: python-unrolled layers + tuple caches.
 
@@ -478,16 +497,24 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
                 caches[2 * li + 1], pack_kv(vh.astype(c0.dtype)),
                 (0, 0, start // kv_pack, 0))
             new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
-            k_all = unpack_kv(kc, m.head_dim)
-            v_all = unpack_kv(vc, m.head_dim)
-            scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
-            scores = jnp.einsum("bhsd,bhtd->bhst", qh, k_all,
-                                preferred_element_type=jnp.float32) * scale
-            q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 0)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 1)
-            scores = jnp.where((k_pos <= q_pos)[None, None], scores, -1e30)
-            probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-            attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
+            if initial_prefill and S >= 128 and m.head_dim in (64, 128):
+                # flash over the fresh K/V — O(S) memory instead of the
+                # dense O(S·T_max) score materialization (VERDICT r2 #8)
+                attn = _flash_prefill_attn(qh, kh, vh, attn_interpret)
+            else:
+                k_all = unpack_kv(kc, m.head_dim)
+                v_all = unpack_kv(vc, m.head_dim)
+                scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
+                scores = jnp.einsum(
+                    "bhsd,bhtd->bhst", qh, k_all,
+                    preferred_element_type=jnp.float32) * scale
+                q_pos = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (S, T_max), 0)
+                k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 1)
+                scores = jnp.where((k_pos <= q_pos)[None, None], scores,
+                                   -1e30)
+                probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+                attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
         elif fused_attention and S == 1:
             # fused Pallas kernel: in-place cache row update + attention
             from ..ops.decode_attention import decode_attention
@@ -505,14 +532,20 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
                 (0, 0, start, 0))
             new_caches[2 * li], new_caches[2 * li + 1] = kc, vc
 
-            scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
-            scores = jnp.einsum("bhsd,bhtd->bhst", qh, kc,
-                                preferred_element_type=jnp.float32) * scale
-            q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 0)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 1)
-            scores = jnp.where((k_pos <= q_pos)[None, None], scores, -1e30)
-            probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
-            attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
+            if initial_prefill and S >= 128 and m.head_dim in (64, 128):
+                attn = _flash_prefill_attn(qh, kh, vh, attn_interpret)
+            else:
+                scale = 1.0 / jnp.sqrt(jnp.float32(m.head_dim))
+                scores = jnp.einsum(
+                    "bhsd,bhtd->bhst", qh, kc,
+                    preferred_element_type=jnp.float32) * scale
+                q_pos = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (S, T_max), 0)
+                k_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T_max), 1)
+                scores = jnp.where((k_pos <= q_pos)[None, None], scores,
+                                   -1e30)
+                probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
+                attn = jnp.einsum("bhst,bhtd->bhsd", probs, vc)
         if use_fused:
             from ..ops.fused_decode import fused_post_attention
 
@@ -676,6 +709,7 @@ class InferenceEngine:
         def _prefill(iparams, ids, caches):
             return infer_forward_unrolled(iparams, ids, cfg, caches,
                                           jnp.int32(0), static=static,
+                                          initial_prefill=True,
                                           attn_interpret=attn_interpret)
 
         @jax.jit

@@ -273,7 +273,16 @@ def sp_block(x, bp, prec, tables, cfg: SPModelConfig, *, mask=None,
         return t.reshape(B, T, m.n_head, m.head_dim).transpose(0, 2, 1, 3)
 
     if attention_fn is None:
-        attn = causal_attention(heads(q), heads(k), heads(v), mask=mask)
+        impl = getattr(cfg, "attention_impl", "auto")
+        use_flash = impl == "flash" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        # trainable=True: the custom-vjp Pallas flash path — measured
+        # faster than the dense T×T softmax at every training length on
+        # v5e (ops/attention.py::flash_blocks); CPU tests keep the dense
+        # reference numerics under "auto".
+        attn = causal_attention(heads(q), heads(k), heads(v), mask=mask,
+                                use_flash=use_flash, trainable=True,
+                                interpret=jax.default_backend() != "tpu")
     else:
         attn = attention_fn(heads(q), heads(k), heads(v))
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, C)

@@ -128,18 +128,38 @@ def flash_attention(q, k, v, *, block_q=128, block_k=128, interpret=False):
     return out.reshape(B, H, T, D)
 
 
-def causal_attention(q, k, v, *, mask=None, use_flash=False, interpret=False):
+def flash_blocks(T: int) -> tuple:
+    """(block_q, block_k) tuned on v5e (GPT-2 shapes, B=8 H=12 D=64):
+    T=256 → (128,128) 15.7 ms vs dense 17.6; T=512 → (128,256) 39.8 vs
+    48.4; T=1024 → (256,256) 58.0 vs 153.8. Training fwd+bwd at T=256:
+    flash(256,256) 16.2 ms vs dense 23.8 (round-3 measurements; the
+    round-1 "flash loses at 256" result was the untuned (128,128)+bwd
+    combination)."""
+    if T <= 256:
+        return 128, 128
+    if T <= 512:
+        return 128, 256
+    return 256, 256
+
+
+def flash_supported(T: int, D: int, mask) -> bool:
+    return mask is None and T % 128 == 0 and D in (64, 128)
+
+
+def causal_attention(q, k, v, *, mask=None, use_flash=False, interpret=False,
+                     trainable=False):
     """Dispatch: Pallas flash kernel (opt-in) or dense jnp reference.
 
-    The flash path requires no padding mask and T % block == 0, and — being a
-    raw `pallas_call` — has no VJP, so the training forward keeps the dense
-    reference (XLA fuses the T×T softmax chain well at training shapes) and
-    flash stays opt-in for inference-style calls until the custom-vjp flash
-    backward lands.
-    """
-    if use_flash and mask is None and q.shape[2] % 128 == 0 \
-            and q.shape[3] in (64, 128):
-        return flash_attention(q, k, v, interpret=interpret)
+    The flash path requires no padding mask and T % block == 0.
+    `trainable=True` routes through `flash_attention_trainable` (custom-vjp
+    Pallas backward) so the same dispatch serves the training forward."""
+    T, D = q.shape[2], q.shape[3]
+    if use_flash and flash_supported(T, D, mask):
+        bq, bk = flash_blocks(T)
+        if trainable:
+            return flash_attention_trainable(q, k, v, bq, bk, interpret)
+        return flash_attention(q, k, v, block_q=bq, block_k=bk,
+                               interpret=interpret)
     return causal_attention_reference(q, k, v, mask=mask)
 
 

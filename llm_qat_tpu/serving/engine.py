@@ -250,7 +250,7 @@ class ContinuousBatchingEngine:
                                         kv_layout=kv_layout)
             logits, caches1, _ = infer_forward_unrolled(
                 ip, ids, cfg_, caches1, jnp.int32(0), static=static,
-                attn_interpret=attn_interpret)
+                initial_prefill=True, attn_interpret=attn_interpret)
             return logits, caches1
 
         self._prefill = _prefill
