@@ -7,12 +7,14 @@ anywhere"; its decode recomputes the full prefix per token,
 and the recorded tokens/s/chip series is the round-over-round target.
 
 Path under test: the whole-model decode MEGAKERNEL (`ops/mega_decode.py`)
-behind `InferenceEngine(kv_layout="mega")` — every transformer layer of a
-decode step in ONE grid-pipelined Pallas call (int8 weight-tile streaming
-double-buffered under compute, HBM-resident head-interleaved KV caches,
-in-kernel online-softmax attention, factored bf16 LoRA), plus the int8
-weight-tied LM head. Round-3 measurement: 16.8k tok/s vs 13.4k on the
-round-2 unfused path (scripts/mega_tpu_check.py has the comparison and the
+behind `InferenceEngine(kv_layout="mega", kv_bits=8)` — every transformer
+layer of a decode step in ONE grid-pipelined Pallas call (int8 weight-tile
+streaming double-buffered under compute, HBM-resident head-interleaved
+int8 KV caches with per-row scales and all-s8 attention dots, factored
+bf16 LoRA), plus the int8 weight-tied LM head. This is the reference's own
+"INT8" configuration, W8A8KV8 (`part3_eval_sp/bit_configurations.py` 8-8-8).
+Round-3 progression on chip: unfused 13.9k -> megakernel 20.6k -> +KV8
+21.7k tok/s (scripts/mega_tpu_check.py has comparisons and the
 teacher-forced parity bound). Completion is forced with a host transfer
 (block_until_ready is unreliable through the axon tunnel with donated
 buffers).
@@ -63,7 +65,7 @@ def main():
 
     eng = InferenceEngine(params, cfg, bits=8, max_batch=B,
                           max_len=PROMPT + NEW, weight_format="int8_xla",
-                          lm_head_int8=True, kv_layout="mega")
+                          lm_head_int8=True, kv_layout="mega", kv_bits=8)
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.model.vocab_size, (B, PROMPT)))
@@ -74,23 +76,23 @@ def main():
     caches = init_layer_caches(cfg, B, T_all, jnp.bfloat16,
                                kv_layout="dense")
     logits, caches, _ = eng._prefill(eng.iparams, prompt, caches)
-    kc, vc = eng._to_mega(caches)
+    cs = eng._to_mega(caches)
     logits0 = logits[:, -1]
 
-    def decode(kc, vc):
-        toks, kc, vc = eng._decode_mega(
-            eng.iparams, eng.mega, logits0, kc, vc, jnp.int32(PROMPT),
+    def decode(cs):
+        toks, *cs = eng._decode_mega_kv8(
+            eng.iparams, eng.mega, logits0, *cs, jnp.int32(PROMPT),
             jax.random.PRNGKey(0), n_new=NEW, temperature=1.0, top_k=None,
             top_p=None, do_sample=False, eos_token_id=None)
         np.asarray(toks)  # host transfer forces completion
-        return kc, vc
+        return cs
 
-    kc, vc = decode(kc, vc)  # warmup/compile
+    cs = decode(cs)  # warmup/compile
 
     n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        kc, vc = decode(kc, vc)
+        cs = decode(cs)
     dt = (time.perf_counter() - t0) / n_rep
 
     tps = B * NEW / dt

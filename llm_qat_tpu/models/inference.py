@@ -670,7 +670,7 @@ class InferenceEngine:
                  max_batch: int = 8, max_len: int = 1024,
                  dtype=jnp.bfloat16, weight_format: str = "dense",
                  lm_head_int8: bool = False, kv_layout: str = "auto",
-                 attn_interpret: bool = False):
+                 kv_bits: int = 16, attn_interpret: bool = False):
         from functools import partial
 
         self.cfg = cfg
@@ -692,6 +692,11 @@ class InferenceEngine:
         self.static = static
 
         self.mega = None
+        self.kv_bits = kv_bits
+        if kv_bits == 8 and kv_layout != "mega":
+            raise ValueError("kv_bits=8 requires kv_layout='mega' (use "
+                             "init_layer_caches(kv_bits=8) for the unfused "
+                             "QuantizedKV path)")
         if kv_layout == "mega":
             # whole-model grid-pipelined decode megakernel: ONE Pallas call
             # per token instead of ~100 small XLA kernels (ops/mega_decode.py
@@ -764,7 +769,7 @@ class InferenceEngine:
         self._decode = _decode
 
         if self.mega is not None:
-            from ..ops.mega_decode import mega_decode_step
+            from ..ops.mega_decode import mega_decode_step, mega_decode_step_kv8
 
             m = cfg.model
             has_lora = self._has_lora
@@ -775,14 +780,38 @@ class InferenceEngine:
             @jax.jit
             def _to_mega(caches):
                 # dense per-layer (B, H, T, hd) -> stacked head-interleaved
-                # row-major (L, B, T, d): row t holds every head's K/V
+                # row-major (L, B, T, d): row t holds every head's K/V.
+                # kv_bits=8: additionally per-row int8 quantization
+                # (codes + (L, B, T) scales) — the mega KV8 layout.
                 def conv(c):
                     B_, H_, T_, D_ = c.shape
                     return c.transpose(0, 2, 1, 3).reshape(B_, T_, H_ * D_)
 
                 ks = jnp.stack([conv(c) for c in caches[0::2]])
                 vs = jnp.stack([conv(c) for c in caches[1::2]])
-                return ks, vs
+                if kv_bits != 8:
+                    return ks, vs
+
+                def quant(rm):
+                    s = jnp.maximum(jnp.max(jnp.abs(
+                        rm.astype(jnp.float32)), axis=-1), 1e-8) / 127.0
+                    codes = jnp.clip(jnp.round(
+                        rm.astype(jnp.float32) / s[..., None]),
+                        -127, 127).astype(jnp.int8)
+                    return codes, s
+
+                kc, kscale = quant(ks)
+                vc, vscale = quant(vs)
+                # scales live (L, T, 128): T on the sublane axis (legal
+                # 8-row DMA slices), batch padded to a full lane tile
+                # (see _mega_kernel_kv8)
+                B_ = kscale.shape[1]
+
+                def lanes(s):
+                    return jnp.pad(s.transpose(0, 2, 1),
+                                   ((0, 0), (0, 0), (0, 128 - B_)))
+
+                return kc, vc, lanes(kscale), lanes(vscale)
 
             @partial(jax.jit, static_argnames=("n_new", "temperature",
                                                "top_k", "top_p", "do_sample",
@@ -831,8 +860,57 @@ class InferenceEngine:
                     (jnp.arange(n_new), rngs))
                 return toks.T, kc, vc
 
+            @partial(jax.jit, static_argnames=("n_new", "temperature",
+                                               "top_k", "top_p", "do_sample",
+                                               "eos_token_id"),
+                     donate_argnums=(3, 4, 5, 6))
+            def _decode_mega_kv8(iparams, mw, logits0, kc, vc, ksc, vsc,
+                                 length0, rng, *, n_new, temperature, top_k,
+                                 top_p, do_sample, eos_token_id):
+                from .generate import _filter_logits
+
+                wte = iparams["wte"]
+
+                def sample(logits, r):
+                    if not do_sample and top_k is None and top_p is None:
+                        return jnp.argmax(logits, axis=-1)
+                    filt = _filter_logits(logits, temperature, top_k, top_p)
+                    if do_sample:
+                        return jax.random.categorical(r, filt, axis=-1)
+                    return jnp.argmax(filt, axis=-1)
+
+                def body(carry, xs):
+                    last_logits, kc, vc, ksc, vsc, done = carry
+                    i, r = xs
+                    tok = sample(last_logits, r)
+                    if eos_token_id is not None:
+                        tok = jnp.where(done, eos_token_id, tok)
+                        done = done | (tok == eos_token_id)
+                    pos = length0 + i
+                    h = (wte[tok] + iparams["wpe"][pos][None].astype(
+                        wte.dtype)).astype(jnp.float32)
+                    h_out, kc, vc, ksc, vsc = mega_decode_step_kv8(
+                        h, mw, kc, vc, ksc, vsc, pos, n_head=m.n_head,
+                        head_dim=m.head_dim, has_lora=has_lora,
+                        eps=m.layer_norm_epsilon, act_dtype=dtype,
+                        aq_max=aq_max, interpret=attn_interpret)
+                    hf = _ln(h_out[:, None, :].astype(dtype),
+                             iparams["ln_f"]["g"], iparams["ln_f"]["b"],
+                             m.layer_norm_epsilon)
+                    return (_lm_head(iparams, hf)[:, 0], kc, vc, ksc, vsc,
+                            done), tok
+
+                B = logits0.shape[0]
+                done0 = jnp.zeros((B,), bool)
+                rngs = jax.random.split(rng, n_new)
+                (_, kc, vc, ksc, vsc, _), toks = jax.lax.scan(
+                    body, (logits0, kc, vc, ksc, vsc, done0),
+                    (jnp.arange(n_new), rngs))
+                return toks.T, kc, vc, ksc, vsc
+
             self._to_mega = _to_mega
             self._decode_mega = _decode_mega
+            self._decode_mega_kv8 = _decode_mega_kv8
 
     def generate(self, input_ids, max_new_tokens: int = 64, *,
                  temperature: float = 1.0, top_k=None, top_p=None,
@@ -853,12 +931,20 @@ class InferenceEngine:
                                        kv_layout="dense")
             logits, caches, _ = self._prefill(self.iparams, input_ids,
                                               caches)
-            kc, vc = self._to_mega(caches)
-            toks, _, _ = self._decode_mega(
-                self.iparams, self.mega, logits[:, -1], kc, vc,
-                jnp.int32(T0), rng, n_new=max_new_tokens,
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                do_sample=do_sample, eos_token_id=eos_token_id)
+            if self.kv_bits == 8:
+                kc, vc, ksc, vsc = self._to_mega(caches)
+                toks, *_ = self._decode_mega_kv8(
+                    self.iparams, self.mega, logits[:, -1], kc, vc, ksc,
+                    vsc, jnp.int32(T0), rng, n_new=max_new_tokens,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    do_sample=do_sample, eos_token_id=eos_token_id)
+            else:
+                kc, vc = self._to_mega(caches)
+                toks, _, _ = self._decode_mega(
+                    self.iparams, self.mega, logits[:, -1], kc, vc,
+                    jnp.int32(T0), rng, n_new=max_new_tokens,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    do_sample=do_sample, eos_token_id=eos_token_id)
             return jnp.concatenate([input_ids, toks], axis=1)
         caches = init_layer_caches(self.cfg, B,
                                    min(self.max_len, T0 + max_new_tokens),

@@ -575,3 +575,409 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
       mw.at.astype(ldt), mw.bt.astype(ldt), mw.ln, k_cache, v_cache)
 
     return out, kc, vc
+
+
+
+# ---------------------------------------------------------------------------
+# int8-KV variant: KV cache stored as int8 codes + per-row scales
+# ---------------------------------------------------------------------------
+
+
+def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
+                     bias_ref, at_ref, bt_ref, ln_ref, kc_in, vc_in,
+                     ks_in, vs_in,
+                     o_ref, kc, vc, ksc, vsc,
+                     qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
+                     kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
+                     sem, ssem, rsem, rssem,
+                     *, eps, sm_scale, tbp, B, H, has_lora, act_dtype,
+                     wbits=8, aq_max=127.0):
+    """`_mega_kernel` with the KV cache in int8 (KV8 of the reference's
+    W-A-KV configs, `part3_eval_sp/bit_configurations.py`): codes (L,B,T,d)
+    int8 + per-row scales (L,B,T) f32. The attention dots run s8xs8->s32 on
+    the MXU — no dequant cast of the streamed prefix:
+
+      scores = (q8(Qm) @ kb_codes) * q_scale * k_row_scale
+      pv     = (q8(p * v_row_scale) @ vb_codes) * p_scale
+
+    (the per-row V scale folds into the probabilities BEFORE their own
+    quantization, so the weighted sum stays exact in the factorization).
+    Halves KV HBM traffic — the dominant stream at long prefixes (see
+    docs/RESULTS_R3.md cost decomposition).
+    """
+    del kc_in, vc_in, ks_in, vs_in  # aliased
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    d = h_ref.shape[1]
+    pos = pos_ref[0]
+
+    @pl.when((l == 0) & (t == 0))
+    def _():
+        o_ref[:] = h_ref[:]
+
+    def _rt(x):
+        if act_dtype == jnp.float32:
+            return x
+        u = pltpu.bitcast(x, jnp.int32)
+        r = (u + 0x7FFF + ((u >> 16) & 1)) & jnp.int32(-65536)
+        return pltpu.bitcast(r, jnp.float32)
+
+    w_tile = wt_ref[0, 0]
+    w_s = ws_ref[0, 0]
+    b_t = bias_ref[0, 0]
+
+    def i8dot(qx):
+        if wbits == 4:
+            wi = w_tile.astype(jnp.int32)
+            lo = ((wi << 28) >> 28).astype(jnp.int8)
+            hi = (wi >> 4).astype(jnp.int8)
+            d2 = d // 2
+            acc = jax.lax.dot_general(
+                qx[:, :d2], lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc + jax.lax.dot_general(
+                qx[:, d2:], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def lora_b(xa):
+        return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, 0],
+                       preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        hn = _rt(_ln_f32(o_ref[:], ln_ref[0, 0:1, :], ln_ref[0, 1:2, :],
+                         eps))
+        qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
+        if has_lora:
+            xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, 0],
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(t < 3)
+    def _():
+        out = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 0] * w_s)
+               + b_t)
+        if has_lora:
+            out = out + lora_b(xam_s[0])
+        qkv_s[t] = out
+
+    @pl.when(t == 3)
+    def _():
+        q = qkv_s[0] * sm_scale
+        # per-row int8 quantization of the new K/V (round-trip applied so
+        # the in-register merge sees the same values future steps stream)
+        kn_f = qkv_s[1]
+        vn_f = qkv_s[2]
+        ks_new = jnp.maximum(jnp.max(jnp.abs(kn_f), axis=1, keepdims=True),
+                             1e-8) / 127.0               # (B, 1)
+        vs_new = jnp.maximum(jnp.max(jnp.abs(vn_f), axis=1, keepdims=True),
+                             1e-8) / 127.0
+        kcode = _clamp(_rne(kn_f / ks_new), -127.0, 127.0)
+        vcode = _clamp(_rne(vn_f / vs_new), -127.0, 127.0)
+        kn = kcode * ks_new                               # dequant view
+        vn = vcode * vs_new
+        hm = hm_ref[:]
+
+        grp8 = pl.multiple_of(_idiv(pos, 8) * 8, 8)
+        sub = _irem(pos, 8)
+        rk = pltpu.make_async_copy(kc.at[l, :, pl.ds(grp8, 8)], rmwk,
+                                   rsem.at[0])
+        rv = pltpu.make_async_copy(vc.at[l, :, pl.ds(grp8, 8)], rmwv,
+                                   rsem.at[1])
+        rks = pltpu.make_async_copy(ksc.at[l, pl.ds(grp8, 8)], rmwks,
+                                    rssem.at[0])
+        rvs = pltpu.make_async_copy(vsc.at[l, pl.ds(grp8, 8)], rmwvs,
+                                    rssem.at[1])
+        rk.start()
+        rv.start()
+        rks.start()
+        rvs.start()
+
+        # scatter per-batch scales into their lanes: (1, B) @ eye(B, 128)
+        eyeB = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+                ).astype(jnp.float32)
+
+        # Qm quantized per (b, h) row: q already carries sm_scale
+        Qm = q[:, None, :] * hm[None]                     # (B, H, d) f32
+        qs = jnp.maximum(jnp.max(jnp.abs(Qm), axis=2, keepdims=True),
+                         1e-8) / 127.0                    # (B, H, 1)
+        Qmq = _clamp(_rne(Qm / qs), -127.0, 127.0).astype(jnp.int8)
+
+        nblk = _idiv(pos + tbp - 1, tbp)
+
+        def get_dma(slot, j):
+            off = pl.multiple_of(j * tbp, tbp)
+            return (
+                pltpu.make_async_copy(kc.at[l, :, pl.ds(off, tbp)],
+                                      kbuf.at[slot], sem.at[0, slot]),
+                pltpu.make_async_copy(vc.at[l, :, pl.ds(off, tbp)],
+                                      vbuf.at[slot], sem.at[1, slot]),
+                pltpu.make_async_copy(ksc.at[l, pl.ds(off, tbp)],
+                                      ksbuf.at[slot], ssem.at[0, slot]),
+                pltpu.make_async_copy(vsc.at[l, pl.ds(off, tbp)],
+                                      vsbuf.at[slot], ssem.at[1, slot]),
+            )
+
+        @pl.when(nblk > 0)
+        def _():
+            for c in get_dma(0, 0):
+                c.start()
+
+        def body(j, carry):
+            m, lsum, acc = carry
+            slot = _irem(j, 2)
+
+            @pl.when(j + 1 < nblk)
+            def _():
+                for c in get_dma(_irem(j + 1, 2), j + 1):
+                    c.start()
+
+            for c in get_dma(slot, j):
+                c.wait()
+            kb = kbuf[slot]                  # (B, tbp, d) int8 codes
+            ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tbp,B)->(B,tbp)
+            s32 = jax.lax.dot_general(       # s8 x s8 -> s32 per-head scores
+                Qmq, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
+                                             2) + j * tbp
+            s = _sel(t_ids < pos, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=2))
+            pbl = jnp.exp(s - m_new[:, :, None])
+            corr = jnp.exp(m - m_new)
+            l_new = lsum * corr + jnp.sum(pbl, axis=2)
+            # fold per-row V scales into the probabilities, then quantize
+            pscaled = pbl * jnp.transpose(
+                vsbuf[slot][:, :B])[:, None, :]
+            ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
+                             1e-30) / 127.0
+            pq = _clamp(_rne(pscaled / ps), -127.0, 127.0).astype(jnp.int8)
+            pv32 = jax.lax.dot_general(
+                pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            pv = pv32.astype(jnp.float32) * ps
+            return m_new, l_new, acc * corr[:, :, None] + pv
+
+        m0 = jnp.full((B, H), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((B, H), jnp.float32)
+        a0 = jnp.zeros((B, H, d), jnp.float32)
+        m, lsum, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+
+        s_new = jax.lax.dot_general(
+            q * kn, hm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_f = jnp.maximum(m, s_new)
+        corr = jnp.exp(m - m_f)
+        p_new = jnp.exp(s_new - m_f)
+        l_f = lsum * corr + p_new
+        heads = acc * corr[:, :, None] + p_new[:, :, None] * (
+            vn[:, None, :] * hm[None])
+        out = jnp.sum(heads * hm[None], axis=1)
+        l_lanes = jax.lax.dot_general(
+            l_f, hm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn2d = _rt(out / jnp.maximum(l_lanes, 1e-30))
+
+        rk.wait()
+        rv.wait()
+        rks.wait()
+        rvs.wait()
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, d), 1)
+        selm = sub_ids == sub
+        rmwk[:] = _sel(selm, jnp.broadcast_to(
+            kcode.astype(jnp.int8)[:, None, :], (B, 8, d)), rmwk[:])
+        rmwv[:] = _sel(selm, jnp.broadcast_to(
+            vcode.astype(jnp.int8)[:, None, :], (B, 8, d)), rmwv[:])
+        sub_ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        selm2 = sub_ids2 == sub
+        ks_lanes = jnp.dot(jnp.transpose(ks_new), eyeB,
+                           preferred_element_type=jnp.float32)  # (1, 128)
+        vs_lanes = jnp.dot(jnp.transpose(vs_new), eyeB,
+                           preferred_element_type=jnp.float32)
+        rmwks[:] = _sel(selm2, jnp.broadcast_to(ks_lanes, (8, 128)),
+                        rmwks[:])
+        rmwvs[:] = _sel(selm2, jnp.broadcast_to(vs_lanes, (8, 128)),
+                        rmwvs[:])
+        wk = pltpu.make_async_copy(rmwk, kc.at[l, :, pl.ds(grp8, 8)],
+                                   rsem.at[0])
+        wv = pltpu.make_async_copy(rmwv, vc.at[l, :, pl.ds(grp8, 8)],
+                                   rsem.at[1])
+        wks = pltpu.make_async_copy(rmwks, ksc.at[l, pl.ds(grp8, 8)],
+                                    rssem.at[0])
+        wvs = pltpu.make_async_copy(rmwvs, vsc.at[l, pl.ds(grp8, 8)],
+                                    rssem.at[1])
+        wk.start()
+        wv.start()
+        wks.start()
+        wvs.start()
+        wk.wait()
+        wv.wait()
+        wks.wait()
+        wvs.wait()
+
+        proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
+                * (xs_ref[l, 1] * w_s) + b_t)
+        if has_lora:
+            xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, 0],
+                         preferred_element_type=jnp.float32)
+            proj = proj + lora_b(xa)
+        h1 = _rt(o_ref[:] + _rt(proj))
+        o_ref[:] = h1
+        hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
+                               eps))
+
+    @pl.when(t == 4)
+    def _():
+        qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
+        if has_lora:
+            xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, 0],
+                               preferred_element_type=jnp.float32)
+
+    @pl.when((t >= 4) & (t < 8))
+    def _():
+        fc = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 2] * w_s)
+              + b_t)
+        if has_lora:
+            fc = fc + lora_b(xam_s[0])
+        g_s[t - 4] = _rt(_gelu_exact(fc))
+
+    @pl.when(t >= 8)
+    def _():
+        g_chunk = g_s[t - 8]
+        part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
+        if has_lora:
+            xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, 0],
+                          preferred_element_type=jnp.float32)
+
+        @pl.when(t == 8)
+        def _():
+            acc_s[:] = part_dot
+            if has_lora:
+                xam_s[1] = xam
+
+        @pl.when(t > 8)
+        def _():
+            acc_s[:] = acc_s[:] + part_dot
+            if has_lora:
+                xam_s[1] = xam_s[1] + xam
+
+    @pl.when(t == N_TILES - 1)
+    def _():
+        mlp = (acc_s[:].astype(jnp.float32) * (xs_ref[l, 3] * w_s) + b_t)
+        if has_lora:
+            mlp = mlp + lora_b(xam_s[1])
+        o_ref[:] = _rt(o_ref[:] + _rt(mlp))
+
+
+def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
+                         v_scale, pos, *, n_head: int, head_dim: int,
+                         has_lora: bool, eps: float = 1e-5, tbp: int = 32,
+                         act_dtype=jnp.bfloat16, aq_max: float = 127.0,
+                         interpret: bool = False):
+    """`mega_decode_step` with int8 KV caches + per-row scales.
+
+    k_cache/v_cache: (L, B, T, d) int8 codes; k_scale/v_scale: (L, T, 128)
+    f32 per-row scales, batch on the lane axis (see `_mega_kernel_kv8`).
+    All four are DONATED and updated at `pos`.
+    Returns (h_out, kc, vc, ks, vs).
+    """
+    B, d = h.shape
+    L = mw.wt.shape[0]
+    r = mw.at.shape[3]
+    D, H = head_dim, n_head
+    assert H * D == d
+    if d % 128:
+        raise ValueError(f"mega_decode_step_kv8 needs d % 128 == 0; got {d}")
+    Tc = k_cache.shape[2]
+    assert k_cache.shape == (L, B, Tc, d)
+    assert k_scale.shape == (L, Tc, 128), k_scale.shape
+    tbp = min(tbp, Tc)
+    while Tc % tbp and tbp > 8:
+        tbp -= 8
+    assert Tc % tbp == 0 and tbp % 8 == 0, (Tc, tbp)
+    sm_scale = 1.0 / math.sqrt(D)
+    ldt = mw.at.dtype
+    dk = mw.wt.shape[2]
+    wbits = 4 if dk == d // 2 else 8
+
+    hm = (jnp.arange(d) // D == jnp.arange(H)[:, None]).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _mega_kernel_kv8, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
+        has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
+        wbits=wbits, aq_max=float(aq_max))
+
+    grid = (L, N_TILES)
+    out, kc, vc, ks, vs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # pos
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # xs
+            pl.BlockSpec((B, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),            # h
+            pl.BlockSpec((H, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),            # head mask
+            pl.BlockSpec((1, 1, dk, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # wt
+            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # ws
+            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # bias
+            pl.BlockSpec((1, 1, d, r), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # at
+            pl.BlockSpec((1, 1, r, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # ln
+            pl.BlockSpec(memory_space=pltpu.ANY),             # kc
+            pl.BlockSpec(memory_space=pltpu.ANY),             # vc
+            pl.BlockSpec(memory_space=pltpu.ANY),             # ksc
+            pl.BlockSpec(memory_space=pltpu.ANY),             # vsc
+        ],
+        out_specs=(
+            pl.BlockSpec((B, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, d), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, Tc, d), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, Tc, d), jnp.int8),
+            jax.ShapeDtypeStruct((L, Tc, 128), jnp.float32),
+            jax.ShapeDtypeStruct((L, Tc, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, B, d), jnp.float32),    # qkv_s
+            pltpu.VMEM((B, d), jnp.int8),          # qx_s
+            pltpu.VMEM((B, d), jnp.float32),       # hn2_s
+            pltpu.VMEM((4, B, d), jnp.float32),    # g_s
+            pltpu.VMEM((B, d), jnp.int32),         # acc_s
+            pltpu.VMEM((2, B, r), jnp.float32),    # xam_s
+            pltpu.VMEM((2, B, tbp, d), jnp.int8),  # kbuf
+            pltpu.VMEM((2, B, tbp, d), jnp.int8),  # vbuf
+            pltpu.VMEM((2, tbp, 128), jnp.float32),  # ksbuf
+            pltpu.VMEM((2, tbp, 128), jnp.float32),  # vsbuf
+            pltpu.VMEM((B, 8, d), jnp.int8),       # rmwk
+            pltpu.VMEM((B, 8, d), jnp.int8),       # rmwv
+            pltpu.VMEM((8, 128), jnp.float32),     # rmwks
+            pltpu.VMEM((8, 128), jnp.float32),     # rmwvs
+            pltpu.SemaphoreType.DMA((2, 2)),       # sem (KV)
+            pltpu.SemaphoreType.DMA((2, 2)),       # ssem (scales)
+            pltpu.SemaphoreType.DMA((2,)),         # rsem
+            pltpu.SemaphoreType.DMA((2,)),         # rssem
+        ],
+        input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), mw.xs,
+      h.astype(jnp.float32), hm, mw.wt, mw.ws, mw.bias,
+      mw.at.astype(ldt), mw.bt.astype(ldt), mw.ln,
+      k_cache, v_cache, k_scale, v_scale)
+
+    return out, kc, vc, ks, vs
