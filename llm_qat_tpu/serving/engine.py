@@ -19,9 +19,10 @@ Multi-host scale-out composes with `parallel.mesh` (shard the slot axis over
 Throughput note: through the axon development tunnel every device dispatch
 costs ~0.3 s of link latency, so the host-driven loop measures ~56 tok/s
 (24 mixed requests) regardless of chunking — compute per chunk is ~ms. On a
-real TPU host the same loop is decode-bound (~7k tok/s at 8 slots, see
-bench.py). `step_chunk` exists precisely to amortize dispatches (k decode
-steps per round trip).
+real TPU host the same loop is decode-bound (the single-stream megakernel
+path measures ~21k tok/s at B=8, docs/RESULTS_R3.md; this engine's
+per-slot-position path trails it but scales request mixes). `step_chunk`
+exists precisely to amortize dispatches (k decode steps per round trip).
 """
 
 from __future__ import annotations

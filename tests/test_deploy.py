@@ -123,6 +123,8 @@ class TestElasticCheckpoints:
         assert got is not None and got[0] == 1
         np.testing.assert_array_equal(np.asarray(got[1]["x"]), np.ones(4))
 
+    @pytest.mark.slow  # CLI e2e run; also hits the known single-process
+    # pytest degradation on this 2-CPU host when run late in a long session
     def test_cli_auto_resume(self, tmp_path):
         """Preemption flow: run 3 iters with elastic saves, then relaunch
         with --auto-resume — the second run continues instead of restarting
