@@ -140,19 +140,24 @@ def main(argv=None):
                 start_iter = saved_it + 1  # that iteration completed
                 print(f"auto-resumed from elastic step {saved_it}")
 
-    rng = jax.random.PRNGKey(args.seed + 1)
-    batch_iter = None
+    # Determinism under --auto-resume: both the per-step rng and the data
+    # order are pure functions of the iteration index (rng = fold_in(base,
+    # it); shuffle seeded by epoch = it // batches_per_epoch, skipping to
+    # it % batches_per_epoch), so a resumed run replays the exact precision
+    # sampling and batch sequence of an uninterrupted one.
+    base_rng = jax.random.PRNGKey(args.seed + 1)
+    per_epoch = max(1, len(train_ds) // tcfg.batch_size)
+    batch_iter, cur_epoch = None, -1
     for it in range(start_iter, tcfg.num_iterations):
-        if batch_iter is None:
+        epoch, pos = divmod(it, per_epoch)
+        if epoch != cur_epoch:
             batch_iter = train_ds.batches(tcfg.batch_size, shuffle=True,
-                                          seed=it)
-        try:
-            ids, _ = next(batch_iter)
-        except StopIteration:
-            batch_iter = train_ds.batches(tcfg.batch_size, shuffle=True,
-                                          seed=it)
-            ids, _ = next(batch_iter)
-        rng, sub = jax.random.split(rng)
+                                          seed=epoch)
+            cur_epoch = epoch
+            for _ in range(pos):  # resume mid-epoch: skip consumed batches
+                next(batch_iter)
+        ids, _ = next(batch_iter)
+        sub = jax.random.fold_in(base_rng, it)
         state, metrics = step_fn(state, jnp.asarray(ids), sub)
         stats.record_iteration(float(metrics["loss"]), float(metrics["lr"]))
         for prec in np.asarray(metrics["precisions"]):

@@ -177,7 +177,10 @@ def _filter_logits_vec(logits, temperature, top_k, top_p):
     kth = jnp.take_along_axis(srt, idx[:, None], axis=-1)
     logits = jnp.where((top_k[:, None] > 0) & (logits < kth), -1e30, logits)
 
-    sorted_desc = srt[:, ::-1]
+    # top-p must operate on the top-k-FILTERED distribution (reference
+    # models_sp.py:478-486 chains the filters), so re-sort the masked logits
+    # rather than reusing `srt` from before the top-k mask.
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
     cum = jnp.cumsum(jax.nn.softmax(sorted_desc, axis=-1), axis=-1)
     remove = cum > top_p[:, None]
     remove = jnp.concatenate(

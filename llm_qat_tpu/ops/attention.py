@@ -99,6 +99,10 @@ def flash_attention(q, k, v, *, block_q=128, block_k=128, interpret=False):
     sm_scale = 1.0 / math.sqrt(D)
     block_q = min(block_q, T)
     block_k = min(block_k, T)
+    if T % block_q or T % block_k:
+        raise ValueError(
+            f"flash_attention: blocks ({block_q},{block_k}) must divide T={T} "
+            "(the k-loop has no tail mask); use flash_blocks(T)")
 
     qf = q.reshape(B * H, T, D)
     kf = k.reshape(B * H, T, D)
@@ -134,12 +138,24 @@ def flash_blocks(T: int) -> tuple:
     48.4; T=1024 → (256,256) 58.0 vs 153.8. Training fwd+bwd at T=256:
     flash(256,256) 16.2 ms vs dense 23.8 (round-3 measurements; the
     round-1 "flash loses at 256" result was the untuned (128,128)+bwd
-    combination)."""
+    combination).
+
+    Blocks must DIVIDE T: the kernel's k-loop reads
+    `k_ref[pl.ds(k_off, block_k)]` with no tail mask, so a block that
+    overhangs T (e.g. 256 at T=384) reads out of bounds and silently
+    corrupts the last K/V tile. `flash_supported` guarantees T % 128 == 0,
+    so 128 is always a safe fallback."""
     if T <= 256:
-        return 128, 128
-    if T <= 512:
-        return 128, 256
-    return 256, 256
+        bq, bk = 128, 128
+    elif T <= 512:
+        bq, bk = 128, 256
+    else:
+        bq, bk = 256, 256
+    if T % bk:
+        bk = 128
+    if T % bq:
+        bq = 128
+    return bq, bk
 
 
 def flash_supported(T: int, D: int, mask) -> bool:
@@ -247,6 +263,10 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
 def _flash_fwd_call(q, k, v, block_q, block_k, interpret):
     B, H, T, D = q.shape
+    if T % block_q or T % block_k:
+        raise ValueError(
+            f"flash_attention_trainable: blocks ({block_q},{block_k}) must "
+            f"divide T={T}; use flash_blocks(T)")
     sm_scale = 1.0 / math.sqrt(D)
     qf = q.reshape(B * H, T, D)
     kf = k.reshape(B * H, T, D)

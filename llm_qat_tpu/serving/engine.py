@@ -304,6 +304,10 @@ class ContinuousBatchingEngine:
         for slot in range(self.n_slots):
             while self.slot_req[slot] is None and self.queue:
                 req = self.queue.popleft()
+                if req.max_new_tokens <= 0:
+                    # nothing to generate — don't sample the prefill token
+                    self._finish(-1, req)
+                    continue
                 T0 = len(req.prompt)
                 pad = self._bucket(T0)
                 ids = np.zeros((1, pad), np.int32)

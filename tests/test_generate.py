@@ -113,6 +113,21 @@ class TestLogitFiltering:
         assert valid[0]
         assert valid.sum() == 1
 
+    def test_vec_matches_scalar_with_topk_and_topp(self):
+        """Regression (r3 advisor, medium): _filter_logits_vec computed the
+        top-p mass on the PRE-top-k distribution, widening the nucleus vs
+        the scalar path / reference (models_sp.py:478-486). Both knobs set,
+        vec and scalar must keep identical token sets."""
+        from llm_qat_tpu.models.generate import _filter_logits_vec
+        rng = np.random.default_rng(11)
+        logits = jnp.asarray(rng.normal(size=(4, 50)) * 3, jnp.float32)
+        for tk, tp in [(5, 0.5), (3, 0.9), (10, 0.3)]:
+            want = np.asarray(_filter_logits(logits, 1.0, tk, tp)) > -1e29
+            got = np.asarray(_filter_logits_vec(
+                logits, jnp.full((4,), 1.0), jnp.full((4,), tk, jnp.int32),
+                jnp.full((4,), tp, jnp.float32))) > -1e29
+            np.testing.assert_array_equal(got, want)
+
     def test_temperature_scales(self):
         logits = jnp.asarray([[2.0, 4.0]])
         f = _filter_logits(logits, 2.0, None, None)

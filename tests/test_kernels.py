@@ -97,6 +97,29 @@ class TestFlashAttention:
             block_q=64, block_k=64, interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("T", [384, 640])
+    def test_non_256_multiple_lengths(self, T):
+        """Regression (r3 advisor, high): flash_blocks picked block_k=256 for
+        T=384, and the k-loop's unmasked `pl.ds(k_off, block_k)` read past T —
+        silently corrupt attention on the default training/prefill path.
+        Blocks must divide T; verify numerics at the shapes that failed."""
+        from llm_qat_tpu.ops.attention import flash_blocks
+        bq, bk = flash_blocks(T)
+        assert T % bq == 0 and T % bk == 0
+        rng = np.random.default_rng(7)
+        B, H, D = 1, 2, 64
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+                   for _ in range(3))
+        want = np.asarray(causal_attention_reference(q, k, v))
+        got = np.asarray(flash_attention(q, k, v, block_q=bq, block_k=bk,
+                                         interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_rejects_non_dividing_blocks(self):
+        q = jnp.zeros((1, 1, 384, 64), jnp.float32)
+        with pytest.raises(ValueError, match="must divide"):
+            flash_attention(q, q, q, block_q=128, block_k=256, interpret=True)
+
     def test_causality(self):
         """Changing future K/V must not affect earlier outputs."""
         rng = np.random.default_rng(6)

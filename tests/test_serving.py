@@ -59,6 +59,19 @@ class TestContinuousBatching:
         for rid in ids:
             assert len(finished[rid].generated) == 3
 
+    def test_zero_max_new_tokens_generates_nothing(self, setup):
+        """Regression (r3 advisor): max_new_tokens=0 must not emit the
+        prefill-sampled token."""
+        cfg, params = setup
+        rng = np.random.default_rng(3)
+        eng = ContinuousBatchingEngine(params, cfg, bits=8, n_slots=1,
+                                       max_len=32, dtype=jnp.float32)
+        rid0 = eng.submit(rng.integers(1, 200, (4,)), max_new_tokens=0)
+        rid1 = eng.submit(rng.integers(1, 200, (4,)), max_new_tokens=2)
+        finished = eng.run_until_done()
+        assert finished[rid0].generated == []
+        assert len(finished[rid1].generated) == 2
+
     def test_eos_frees_slot_early(self, setup):
         cfg, params = setup
         rng = np.random.default_rng(2)
