@@ -1,4 +1,4 @@
-"""Decode-throughput benchmark: SP GPT-2 124M, true-INT8 W8A8 decode.
+"""Decode-throughput benchmark: SP GPT-2 124M, INT4+LoRA (W4A8KV4) decode.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.md: "no tokens/s
@@ -6,18 +6,24 @@ anywhere"; its decode recomputes the full prefix per token,
 `part1_switchable_precision/models_sp.py:460-507`), so vs_baseline is null
 and the recorded tokens/s/chip series is the round-over-round target.
 
-Path under test: the whole-model decode MEGAKERNEL (`ops/mega_decode.py`)
-behind `InferenceEngine(kv_layout="mega", kv_bits=8)` — every transformer
-layer of a decode step in ONE grid-pipelined Pallas call (int8 weight-tile
-streaming double-buffered under compute, HBM-resident head-interleaved
-int8 KV caches with per-row scales and all-s8 attention dots, factored
-bf16 LoRA), plus the int8 weight-tied LM head. This is the reference's own
-"INT8" configuration, W8A8KV8 (`part3_eval_sp/bit_configurations.py` 8-8-8).
-Round-3 progression on chip: unfused 13.9k -> megakernel 20.6k -> +KV8
-21.7k tok/s (scripts/mega_tpu_check.py has comparisons and the
-teacher-forced parity bound). Completion is forced with a host transfer
-(block_until_ready is unreliable through the axon tunnel with donated
-buffers).
+Path under test — the BASELINE.json north star ("GPT-2 124M INT4+LoRA
+decoding at roofline tokens/s/chip") in the reference's named W4A8KV4
+configuration (`part3_eval_sp/bit_configurations.py:4`): the whole-model
+decode MEGAKERNEL (`ops/mega_decode.py`) behind
+`InferenceEngine(weight_format="int4_xla", kv_layout="mega", kv_bits=4)` —
+every transformer layer of a decode step in ONE grid-pipelined Pallas call
+(nibble-packed int4 weight tiles streaming at half the int8 traffic,
+HBM-resident int4 KV caches at quarter traffic with per-row scales and
+all-s8/s4 attention dots, factored bf16 LoRA), plus the int8 weight-tied
+LM head.
+
+Round-4 same-run matrix (scripts/ab_decode.py, tbp=64): W4KV4 23.6k >
+W4KV8 23.0k > W8KV8 20.7k > W4KV16 19.1k tok/s — the ordering now tracks
+HBM traffic exactly (round 3's W4KV8-slowest anomaly was the tbp=32 KV
+block size + cross-session chip variance; VERDICT r3 weak #1). W8A8KV8,
+round 3's headline config, remains covered by scripts/decode_matrix.py.
+Completion is forced with a host transfer (block_until_ready is unreliable
+through the axon tunnel with donated buffers).
 """
 
 import json
@@ -48,9 +54,9 @@ def main():
 
     cfg = SPModelConfig(
         model=GPT2Config(),
-        # minmax-8 per-tensor: the reference's own eval/deploy mode
+        # minmax per-tensor: the reference's own eval/deploy mode
         # (`part3_eval_sp/main_sp_eval.py:60` forces per-tensor) and the grid
-        # on which int8 codes are exact.
+        # on which int4/int8 codes are exact.
         quant=QuantConfig(bit_widths=(4, 8, 32),
                           quantizer_per_bit={8: "minmax"},
                           per_channel=False),
@@ -63,9 +69,10 @@ def main():
            for _ in range(3)]
     params = calibrate_input_quantizers(params, cfg, cal)
 
-    eng = InferenceEngine(params, cfg, bits=8, max_batch=B,
-                          max_len=PROMPT + NEW, weight_format="int8_xla",
-                          lm_head_int8=True, kv_layout="mega", kv_bits=8)
+    eng = InferenceEngine(params, cfg, bits=4, max_batch=B,
+                          max_len=PROMPT + NEW, weight_format="int4_xla",
+                          lm_head_int8=True, kv_layout="mega", kv_bits=4,
+                          mega_tbp=64)
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.model.vocab_size, (B, PROMPT)))
@@ -89,15 +96,17 @@ def main():
 
     cs = decode(cs)  # warmup/compile
 
-    n_rep = 3
-    t0 = time.perf_counter()
+    n_rep = 5
+    ts = []
     for _ in range(n_rep):
+        t0 = time.perf_counter()
         cs = decode(cs)
-    dt = (time.perf_counter() - t0) / n_rep
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
 
     tps = B * NEW / dt
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_per_chip_gpt2_124m_int8",
+        "metric": "decode_tokens_per_sec_per_chip_gpt2_124m_int4_lora",
         "value": round(tps, 1),
         "unit": "tokens/s",
         "vs_baseline": None,

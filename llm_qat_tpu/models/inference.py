@@ -670,7 +670,8 @@ class InferenceEngine:
                  max_batch: int = 8, max_len: int = 1024,
                  dtype=jnp.bfloat16, weight_format: str = "dense",
                  lm_head_int8: bool = False, kv_layout: str = "auto",
-                 kv_bits: int = 16, attn_interpret: bool = False):
+                 kv_bits: int = 16, attn_interpret: bool = False,
+                 mega_tbp: int = 64):
         from functools import partial
 
         self.cfg = cfg
@@ -693,10 +694,13 @@ class InferenceEngine:
 
         self.mega = None
         self.kv_bits = kv_bits
-        if kv_bits == 8 and kv_layout != "mega":
-            raise ValueError("kv_bits=8 requires kv_layout='mega' (use "
-                             "init_layer_caches(kv_bits=8) for the unfused "
-                             "QuantizedKV path)")
+        self.mega_tbp = mega_tbp
+        if kv_bits in (8, 4) and kv_layout != "mega":
+            raise ValueError(f"kv_bits={kv_bits} requires kv_layout='mega' "
+                             "(use init_layer_caches(kv_bits=8) for the "
+                             "unfused QuantizedKV path)")
+        if kv_bits not in (16, 8, 4):
+            raise ValueError(f"kv_bits must be 16, 8 or 4; got {kv_bits}")
         if kv_layout == "mega":
             # whole-model grid-pipelined decode megakernel: ONE Pallas call
             # per token instead of ~100 small XLA kernels (ops/mega_decode.py
@@ -781,23 +785,30 @@ class InferenceEngine:
             def _to_mega(caches):
                 # dense per-layer (B, H, T, hd) -> stacked head-interleaved
                 # row-major (L, B, T, d): row t holds every head's K/V.
-                # kv_bits=8: additionally per-row int8 quantization
-                # (codes + (L, B, T) scales) — the mega KV8 layout.
+                # kv_bits=8/4: additionally per-row int8/int4 quantization
+                # (codes + (L, B, T) scales) — the mega KV8/KV4 layout
+                # (KV4 packs ±7 nibbles along lane halves, see
+                # `ops/mega_decode.py::_mega_kernel_kv8`).
                 def conv(c):
                     B_, H_, T_, D_ = c.shape
                     return c.transpose(0, 2, 1, 3).reshape(B_, T_, H_ * D_)
 
                 ks = jnp.stack([conv(c) for c in caches[0::2]])
                 vs = jnp.stack([conv(c) for c in caches[1::2]])
-                if kv_bits != 8:
+                if kv_bits not in (8, 4):
                     return ks, vs
+                qmax = 127 if kv_bits == 8 else 7
 
                 def quant(rm):
                     s = jnp.maximum(jnp.max(jnp.abs(
-                        rm.astype(jnp.float32)), axis=-1), 1e-8) / 127.0
+                        rm.astype(jnp.float32)), axis=-1), 1e-8) / qmax
                     codes = jnp.clip(jnp.round(
                         rm.astype(jnp.float32) / s[..., None]),
-                        -127, 127).astype(jnp.int8)
+                        -qmax, qmax).astype(jnp.int8)
+                    if kv_bits == 4:
+                        d2 = codes.shape[-1] // 2
+                        codes = ((codes[..., :d2] & 0xF)
+                                 | (codes[..., d2:] << 4))
                     return codes, s
 
                 kc, kscale = quant(ks)
@@ -846,7 +857,8 @@ class InferenceEngine:
                         h, mw, kc, vc, pos, n_head=m.n_head,
                         head_dim=m.head_dim, has_lora=has_lora,
                         eps=m.layer_norm_epsilon, act_dtype=dtype,
-                        aq_max=aq_max, interpret=attn_interpret)
+                        aq_max=aq_max, tbp=self.mega_tbp,
+                        interpret=attn_interpret)
                     hf = _ln(h_out[:, None, :].astype(dtype),
                              iparams["ln_f"]["g"], iparams["ln_f"]["b"],
                              m.layer_norm_epsilon)
@@ -893,7 +905,8 @@ class InferenceEngine:
                         h, mw, kc, vc, ksc, vsc, pos, n_head=m.n_head,
                         head_dim=m.head_dim, has_lora=has_lora,
                         eps=m.layer_norm_epsilon, act_dtype=dtype,
-                        aq_max=aq_max, interpret=attn_interpret)
+                        aq_max=aq_max, tbp=self.mega_tbp,
+                        kv_bits=self.kv_bits, interpret=attn_interpret)
                     hf = _ln(h_out[:, None, :].astype(dtype),
                              iparams["ln_f"]["g"], iparams["ln_f"]["b"],
                              m.layer_norm_epsilon)
@@ -931,7 +944,7 @@ class InferenceEngine:
                                        kv_layout="dense")
             logits, caches, _ = self._prefill(self.iparams, input_ids,
                                               caches)
-            if self.kv_bits == 8:
+            if self.kv_bits in (8, 4):
                 kc, vc, ksc, vsc = self._to_mega(caches)
                 toks, *_ = self._decode_mega_kv8(
                     self.iparams, self.mega, logits[:, -1], kc, vc, ksc,

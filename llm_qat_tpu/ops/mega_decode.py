@@ -62,20 +62,59 @@ from .decode_attention import _clamp, _idiv, _irem, _rne, _sel
 
 NEG_INF = -1e30
 N_TILES = 12  # 3 qkv + 1 attn-proj + 4 fc + 4 mlp-proj partials
+I4_UNPACK = "i32"  # Mosaic (v5e, jax 0.9) cannot legalize arith.shli on
+# int8 vectors, so the nibble unpack must widen to i32 first ("i8" kept
+# for interpret-mode experiments only)
 
 
 class MegaWeights(NamedTuple):
-    """Stacked per-(layer, tile) operand banks for the megakernel."""
+    """Stacked per-(layer, tile) operand banks for the megakernel.
+
+    LoRA bank layout follows the module-level `LORA_BANKS` switch: "full"
+    (default) stores one A and one B tile per grid step — zeros where the
+    step uses none — with identity index maps; "compact" stores only the
+    read tiles (A 7, B 9 entries) behind refetch-eliding index maps, which
+    measured SLOWER on v5e (see the LORA_BANKS note)."""
 
     wt: jax.Array      # (L, 12, d, d) int8 tiles — or (L, 12, d/2, d)
     #                    nibble-packed int4 tiles (K-halves plane packing,
     #                    `models/inference.py::_int4_dot` layout, per tile)
     ws: jax.Array      # (L, 12, 1, d) f32 per-out-channel dequant scales
     bias: jax.Array    # (L, 12, 1, d) f32 (mlp bias only on tile 11)
-    at: jax.Array      # (L, 12, d, r) LoRA A tiles (zeros where unused)
-    bt: jax.Array      # (L, 12, r, d) LoRA B tiles (scaling folded in)
+    at: jax.Array      # (L, 12|7, d, r) LoRA A bank (see LORA_BANKS)
+    bt: jax.Array      # (L, 12|9, r, d) LoRA B bank (scaling folded in)
     ln: jax.Array      # (L, 4, d) f32: ln1_g, ln1_b, ln2_g, ln2_b
     xs: jax.Array      # (L, 4) f32 static activation scales (qkv,proj,fc,mlp)
+
+
+# tile t -> compact bank index; repeats (= no refetch) where the tile is
+# unused at step t. A is read at t=0 (qkv), 3 (proj), 4 (fc), 8..11 (mlp
+# row-chunks); B at t=0..2 (qkv col-slices), 3 (proj), 4..7 (fc), 11 (mlp).
+_AT_MAP = (0, 0, 0, 1, 2, 2, 2, 2, 3, 4, 5, 6)
+_BT_MAP = (0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 7, 8)
+
+
+LORA_BANKS = "full"  # "full" (12-entry zero-padded banks, identity map)
+#                      | "compact" (7/9-entry banks, refetch-eliding maps)
+# Measured (same-run, W8KV8 tbp32, v5e): full 416 us/step vs compact 473 —
+# the dynamic (where-chain) index maps defeat Mosaic's static prefetch
+# analysis and cost far more than the ~9 MB/step of dead-tile traffic they
+# save. Keep "full" unless Mosaic learns to elide data-dependent refetches.
+
+
+def _at_idx(t):
+    # scalar-arithmetic form of _AT_MAP (index maps may not capture arrays)
+    if LORA_BANKS == "full":
+        return t
+    return jnp.where(t < 3, 0, jnp.where(t == 3, 1,
+                     jnp.where(t < 8, 2, t - 5)))
+
+
+def _bt_idx(t):
+    # scalar-arithmetic form of _BT_MAP
+    if LORA_BANKS == "full":
+        return t
+    return jnp.where(t < 8, t, jnp.where(t < 11, 7, 8))
 
 
 def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
@@ -162,22 +201,31 @@ def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
 
     has_lora = "lora_A" in qkv
     if has_lora:
-        r = qkv["lora_A"].shape[2]
-        ldt = qkv["lora_A"].dtype
-        za = jnp.zeros((L, d, r), ldt)
-        zb = jnp.zeros((L, r, d), ldt)
-        # A tiles: qkv@0, proj@3, fc@4, mlp row-chunks@8..11 (xa accumulates)
-        at = jnp.stack(
-            [qkv["lora_A"], za, za, proj["lora_A"], fc["lora_A"], za, za, za]
-            + tiles_in(mlp["lora_A"]), axis=1)
-        # B tiles: col slices where the tile's output lands; mlp B on tile 11
-        bt = jnp.stack(
-            tiles_out(qkv["lora_B"]) + [proj["lora_B"]]
-            + tiles_out(fc["lora_B"]) + [zb, zb, zb, mlp["lora_B"]], axis=1)
+        if LORA_BANKS == "full":
+            r = qkv["lora_A"].shape[2]
+            ldt = qkv["lora_A"].dtype
+            za = jnp.zeros((L, d, r), ldt)
+            zb = jnp.zeros((L, r, d), ldt)
+            at = jnp.stack(
+                [qkv["lora_A"], za, za, proj["lora_A"], fc["lora_A"],
+                 za, za, za] + tiles_in(mlp["lora_A"]), axis=1)
+            bt = jnp.stack(
+                tiles_out(qkv["lora_B"]) + [proj["lora_B"]]
+                + tiles_out(fc["lora_B"]) + [zb, zb, zb, mlp["lora_B"]],
+                axis=1)
+        else:
+            # compact banks (see _AT_MAP/_BT_MAP): every stored tile is read
+            at = jnp.stack(
+                [qkv["lora_A"], proj["lora_A"], fc["lora_A"]]
+                + tiles_in(mlp["lora_A"]), axis=1)
+            bt = jnp.stack(
+                tiles_out(qkv["lora_B"]) + [proj["lora_B"]]
+                + tiles_out(fc["lora_B"]) + [mlp["lora_B"]], axis=1)
     else:
         r = 8
-        at = jnp.zeros((L, N_TILES, d, r), jnp.bfloat16)
-        bt = jnp.zeros((L, N_TILES, r, d), jnp.bfloat16)
+        n_at, n_bt = (12, 12) if LORA_BANKS == "full" else (7, 9)
+        at = jnp.zeros((L, n_at, d, r), jnp.bfloat16)
+        bt = jnp.zeros((L, n_bt, r, d), jnp.bfloat16)
 
     ln = jnp.stack(
         [jnp.asarray(iparams["blocks"]["ln1"]["g"], jnp.float32),
@@ -261,9 +309,15 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
 
     def i8dot(qx):
         if wbits == 4:
-            wi = w_tile.astype(jnp.int32)
-            lo = ((wi << 28) >> 28).astype(jnp.int8)
-            hi = (wi >> 4).astype(jnp.int8)
+            if I4_UNPACK == "i8":
+                # int8-native shifts: no (d/2, d) int32 materialization in
+                # the unpack (round-4 W4 critical-path fix)
+                lo = (w_tile << 4) >> 4   # sign-extended low nibble
+                hi = w_tile >> 4          # arithmetic shift, stays int8
+            else:
+                wi = w_tile.astype(jnp.int32)
+                lo = ((wi << 28) >> 28).astype(jnp.int8)
+                hi = (wi >> 4).astype(jnp.int8)
             d2 = d // 2
             acc = jax.lax.dot_general(
                 qx[:, :d2], lo, (((1,), (0,)), ((), ())),
@@ -534,10 +588,12 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
                          memory_space=pltpu.VMEM),            # ws
             pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # bias
-            pl.BlockSpec((1, 1, d, r), lambda l, t: (l, t, 0, 0),
-                         memory_space=pltpu.VMEM),            # at
-            pl.BlockSpec((1, 1, r, d), lambda l, t: (l, t, 0, 0),
-                         memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec((1, 1, d, r),
+                         lambda l, t: (l, _at_idx(t), 0, 0),
+                         memory_space=pltpu.VMEM),            # at (compact)
+            pl.BlockSpec((1, 1, r, d),
+                         lambda l, t: (l, _bt_idx(t), 0, 0),
+                         memory_space=pltpu.VMEM),            # bt (compact)
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln
             pl.BlockSpec(memory_space=pltpu.ANY),             # kc
@@ -591,7 +647,7 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
                      kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
                      sem, ssem, rsem, rssem,
                      *, eps, sm_scale, tbp, B, H, has_lora, act_dtype,
-                     wbits=8, aq_max=127.0):
+                     wbits=8, aq_max=127.0, kv_bits=8):
     """`_mega_kernel` with the KV cache in int8 (KV8 of the reference's
     W-A-KV configs, `part3_eval_sp/bit_configurations.py`): codes (L,B,T,d)
     int8 + per-row scales (L,B,T) f32. The attention dots run s8xs8->s32 on
@@ -604,6 +660,14 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
     quantization, so the weighted sum stays exact in the factorization).
     Halves KV HBM traffic — the dominant stream at long prefixes (see
     docs/RESULTS_R3.md cost decomposition).
+
+    kv_bits=4 (the reference's KV4 axis — W4A8KV4 / W8A8KV4,
+    `part3_eval_sp/bit_configurations.py:4`): codes are ±7 int4 nibbles
+    packed along LANE HALVES into (L, B, T, d/2) bytes — lanes [0, d/2) in
+    the low nibbles, [d/2, d) in the high — so each attention dot splits
+    into two s8 MXU dots over the corresponding Q lane-halves (scores) or
+    output lane-halves (weighted V), and the packed tile needs no lane
+    interleaving on unpack. Per-row scales unchanged. Quarter KV traffic.
     """
     del kc_in, vc_in, ks_in, vs_in  # aliased
     l = pl.program_id(0)
@@ -628,9 +692,15 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
 
     def i8dot(qx):
         if wbits == 4:
-            wi = w_tile.astype(jnp.int32)
-            lo = ((wi << 28) >> 28).astype(jnp.int8)
-            hi = (wi >> 4).astype(jnp.int8)
+            if I4_UNPACK == "i8":
+                # int8-native shifts: no (d/2, d) int32 materialization in
+                # the unpack (round-4 W4 critical-path fix)
+                lo = (w_tile << 4) >> 4   # sign-extended low nibble
+                hi = w_tile >> 4          # arithmetic shift, stays int8
+            else:
+                wi = w_tile.astype(jnp.int32)
+                lo = ((wi << 28) >> 28).astype(jnp.int8)
+                hi = (wi >> 4).astype(jnp.int8)
             d2 = d // 2
             acc = jax.lax.dot_general(
                 qx[:, :d2], lo, (((1,), (0,)), ((), ())),
@@ -669,12 +739,14 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
         # the in-register merge sees the same values future steps stream)
         kn_f = qkv_s[1]
         vn_f = qkv_s[2]
+        kvq = 127.0 if kv_bits == 8 else 7.0
+        d2 = d // 2
         ks_new = jnp.maximum(jnp.max(jnp.abs(kn_f), axis=1, keepdims=True),
-                             1e-8) / 127.0               # (B, 1)
+                             1e-8) / kvq                 # (B, 1)
         vs_new = jnp.maximum(jnp.max(jnp.abs(vn_f), axis=1, keepdims=True),
-                             1e-8) / 127.0
-        kcode = _clamp(_rne(kn_f / ks_new), -127.0, 127.0)
-        vcode = _clamp(_rne(vn_f / vs_new), -127.0, 127.0)
+                             1e-8) / kvq
+        kcode = _clamp(_rne(kn_f / ks_new), -kvq, kvq)
+        vcode = _clamp(_rne(vn_f / vs_new), -kvq, kvq)
         kn = kcode * ks_new                               # dequant view
         vn = vcode * vs_new
         hm = hm_ref[:]
@@ -736,11 +808,22 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
 
             for c in get_dma(slot, j):
                 c.wait()
-            kb = kbuf[slot]                  # (B, tbp, d) int8 codes
-            ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tbp,B)->(B,tbp)
-            s32 = jax.lax.dot_general(       # s8 x s8 -> s32 per-head scores
-                Qmq, kb, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
+            kb = kbuf[slot]        # (B, tbp, d) int8 codes — or packed d/2
+            ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tpb,B)->(B,tbp)
+            if kv_bits == 4:
+                kbi = kb.astype(jnp.int32)   # no int8 shifts on Mosaic
+                kb_lo = ((kbi << 28) >> 28).astype(jnp.int8)  # lanes [0, d/2)
+                kb_hi = (kbi >> 4).astype(jnp.int8)           # [d/2, d)
+                s32 = jax.lax.dot_general(
+                    Qmq[:, :, :d2], kb_lo, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
+                s32 = s32 + jax.lax.dot_general(
+                    Qmq[:, :, d2:], kb_hi, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
+            else:
+                s32 = jax.lax.dot_general(   # s8 x s8 -> s32 per-head scores
+                    Qmq, kb, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
             s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
             t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
                                              2) + j * tbp
@@ -755,9 +838,21 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
             ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
                              1e-30) / 127.0
             pq = _clamp(_rne(pscaled / ps), -127.0, 127.0).astype(jnp.int8)
-            pv32 = jax.lax.dot_general(
-                pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
+            if kv_bits == 4:
+                vbi = vbuf[slot].astype(jnp.int32)
+                pv_lo = jax.lax.dot_general(
+                    pq, ((vbi << 28) >> 28).astype(jnp.int8),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
+                pv_hi = jax.lax.dot_general(
+                    pq, (vbi >> 4).astype(jnp.int8),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
+                pv32 = jnp.concatenate([pv_lo, pv_hi], axis=2)
+            else:
+                pv32 = jax.lax.dot_general(
+                    pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
             pv = pv32.astype(jnp.float32) * ps
             return m_new, l_new, acc * corr[:, :, None] + pv
 
@@ -785,12 +880,24 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
         rv.wait()
         rks.wait()
         rvs.wait()
-        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, d), 1)
+        if kv_bits == 4:
+            def _pack(c):  # i32 bit math (no int8 shifts on Mosaic)
+                lo = c[:, :d2].astype(jnp.int32)
+                hi = c[:, d2:].astype(jnp.int32)
+                return ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+
+            kbytes = _pack(kcode)
+            vbytes = _pack(vcode)
+        else:
+            kbytes = kcode.astype(jnp.int8)
+            vbytes = vcode.astype(jnp.int8)
+        dc = kbytes.shape[1]
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, dc), 1)
         selm = sub_ids == sub
         rmwk[:] = _sel(selm, jnp.broadcast_to(
-            kcode.astype(jnp.int8)[:, None, :], (B, 8, d)), rmwk[:])
+            kbytes[:, None, :], (B, 8, dc)), rmwk[:])
         rmwv[:] = _sel(selm, jnp.broadcast_to(
-            vcode.astype(jnp.int8)[:, None, :], (B, 8, d)), rmwv[:])
+            vbytes[:, None, :], (B, 8, dc)), rmwv[:])
         sub_ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         selm2 = sub_ids2 == sub
         ks_lanes = jnp.dot(jnp.transpose(ks_new), eyeB,
@@ -876,11 +983,14 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
                          v_scale, pos, *, n_head: int, head_dim: int,
                          has_lora: bool, eps: float = 1e-5, tbp: int = 32,
                          act_dtype=jnp.bfloat16, aq_max: float = 127.0,
-                         interpret: bool = False):
-    """`mega_decode_step` with int8 KV caches + per-row scales.
+                         kv_bits: int = 8, interpret: bool = False):
+    """`mega_decode_step` with int8 (or packed int4) KV caches + per-row
+    scales.
 
-    k_cache/v_cache: (L, B, T, d) int8 codes; k_scale/v_scale: (L, T, 128)
-    f32 per-row scales, batch on the lane axis (see `_mega_kernel_kv8`).
+    kv_bits=8: k_cache/v_cache are (L, B, T, d) int8 codes. kv_bits=4:
+    (L, B, T, d/2) bytes, ±7 nibbles packed along lane halves (low nibble =
+    lane i, high nibble = lane i + d/2). k_scale/v_scale: (L, T, 128) f32
+    per-row scales, batch on the lane axis (see `_mega_kernel_kv8`).
     All four are DONATED and updated at `pos`.
     Returns (h_out, kc, vc, ks, vs).
     """
@@ -891,8 +1001,15 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
     assert H * D == d
     if d % 128:
         raise ValueError(f"mega_decode_step_kv8 needs d % 128 == 0; got {d}")
+    if kv_bits not in (8, 4):
+        raise ValueError(f"kv_bits must be 8 or 4; got {kv_bits}")
+    dc = d if kv_bits == 8 else d // 2
+    if kv_bits == 4 and dc % 128 and not interpret:
+        # compiled DMAs need the packed lane dim 128-aligned; interpret
+        # mode (CPU tests on tiny dims) has no such constraint
+        raise ValueError(f"kv_bits=4 needs d % 256 == 0; got d={d}")
     Tc = k_cache.shape[2]
-    assert k_cache.shape == (L, B, Tc, d)
+    assert k_cache.shape == (L, B, Tc, dc), (k_cache.shape, dc)
     assert k_scale.shape == (L, Tc, 128), k_scale.shape
     tbp = min(tbp, Tc)
     while Tc % tbp and tbp > 8:
@@ -908,7 +1025,7 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
     kernel = functools.partial(
         _mega_kernel_kv8, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
         has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
-        wbits=wbits, aq_max=float(aq_max))
+        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits)
 
     grid = (L, N_TILES)
     out, kc, vc, ks, vs = pl.pallas_call(
@@ -927,10 +1044,12 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
                          memory_space=pltpu.VMEM),            # ws
             pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # bias
-            pl.BlockSpec((1, 1, d, r), lambda l, t: (l, t, 0, 0),
-                         memory_space=pltpu.VMEM),            # at
-            pl.BlockSpec((1, 1, r, d), lambda l, t: (l, t, 0, 0),
-                         memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec((1, 1, d, r),
+                         lambda l, t: (l, _at_idx(t), 0, 0),
+                         memory_space=pltpu.VMEM),            # at (compact)
+            pl.BlockSpec((1, 1, r, d),
+                         lambda l, t: (l, _bt_idx(t), 0, 0),
+                         memory_space=pltpu.VMEM),            # bt (compact)
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln
             pl.BlockSpec(memory_space=pltpu.ANY),             # kc
@@ -948,8 +1067,8 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, d), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, Tc, d), jnp.int8),
-            jax.ShapeDtypeStruct((L, B, Tc, d), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, Tc, dc), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, Tc, dc), jnp.int8),
             jax.ShapeDtypeStruct((L, Tc, 128), jnp.float32),
             jax.ShapeDtypeStruct((L, Tc, 128), jnp.float32),
         ),
@@ -960,12 +1079,12 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
             pltpu.VMEM((4, B, d), jnp.float32),    # g_s
             pltpu.VMEM((B, d), jnp.int32),         # acc_s
             pltpu.VMEM((2, B, r), jnp.float32),    # xam_s
-            pltpu.VMEM((2, B, tbp, d), jnp.int8),  # kbuf
-            pltpu.VMEM((2, B, tbp, d), jnp.int8),  # vbuf
+            pltpu.VMEM((2, B, tbp, dc), jnp.int8),  # kbuf
+            pltpu.VMEM((2, B, tbp, dc), jnp.int8),  # vbuf
             pltpu.VMEM((2, tbp, 128), jnp.float32),  # ksbuf
             pltpu.VMEM((2, tbp, 128), jnp.float32),  # vsbuf
-            pltpu.VMEM((B, 8, d), jnp.int8),       # rmwk
-            pltpu.VMEM((B, 8, d), jnp.int8),       # rmwv
+            pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwk
+            pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwv
             pltpu.VMEM((8, 128), jnp.float32),     # rmwks
             pltpu.VMEM((8, 128), jnp.float32),     # rmwvs
             pltpu.SemaphoreType.DMA((2, 2)),       # sem (KV)

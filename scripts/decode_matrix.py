@@ -1,14 +1,17 @@
-"""Decode-throughput matrix on the real chip: W{8,4} x KV{16,8} megakernel.
+"""Decode-throughput matrix on the real chip: W{8,4} x KV{16,8,4} megakernel.
 
-Round-3 measurements (same run; chip-to-chip variance ~±5%):
-    W8 KV16: 19.8k tok/s   W8 KV8: 21.7k tok/s
-    W4 KV16: 21.5k tok/s   W4 KV8: 19.7k tok/s
-(the per-rep timings here include the dense->mega cache conversion, so
-bench.py's decode-only number reads slightly higher). Token agreement
-KV8-vs-KV16 on a random-weight model is ~0.6 — 8-bit attention noise
-flips near-tie argmaxes; quality semantics are the reference's KV8 axis.
+Methodology (round-4, VERDICT r3 #10): decode-ONLY timing — the dense->mega
+cache conversion runs once outside the timed region and the donated caches
+returned by each decode are fed to the next rep — with >=5 reps and both
+median and min reported, so spread is visible instead of hand-waved as
+"±5% variance".
 
-Run: python scripts/decode_matrix.py  (needs the TPU backend)
+Round-4 same-run measurements (median of 5, tbp=64; scripts/ab_decode.py):
+    W8 KV8: 20.7k   W4 KV16: 19.1k   W4 KV8: 23.0k   W4 KV4: 23.6k tok/s
+The ordering tracks HBM traffic exactly; round 3's "W4KV8 slowest" was the
+tbp=32 KV block size + cross-session chip variance (docs/RESULTS_R4.md).
+
+Run: python scripts/decode_matrix.py [new_tokens] [reps]  (needs the TPU)
 """
 import sys
 import time
@@ -24,7 +27,9 @@ from llm_qat_tpu.models.inference import InferenceEngine, init_layer_caches
 from llm_qat_tpu.train.calibration_manager import (
     calibrate_input_quantizers, calibrate_weight_quantizers)
 
-B, PROMPT, NEW = 8, 64, 512
+B, PROMPT = 8, 64
+NEW = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 cfg = SPModelConfig(
     model=GPT2Config(),
     quant=QuantConfig(bit_widths=(4, 8, 32), quantizer_per_bit={8: "minmax"},
@@ -38,39 +43,51 @@ rng0 = np.random.default_rng(5)
 params = calibrate_input_quantizers(params, cfg, [jnp.asarray(rng0.integers(0, 50257, (2, 64))) for _ in range(3)])
 rng = np.random.default_rng(0)
 prompt = jnp.asarray(rng.integers(0, 50257, (B, PROMPT)))
-T_all = -(-(PROMPT+NEW)//32)*32
+T_all = -(-(PROMPT + NEW) // 32) * 32
 
-def bench(wf, bits, kvb, label):
-    eng = InferenceEngine(params, cfg, bits=bits, max_batch=B, max_len=PROMPT+NEW,
-                          weight_format=wf, lm_head_int8=True, kv_layout="mega",
-                          kv_bits=kvb)
+
+def bench(wf, bits, kvb, label, tbp=64):
+    eng = InferenceEngine(params, cfg, bits=bits, max_batch=B,
+                          max_len=PROMPT + NEW, weight_format=wf,
+                          lm_head_int8=True, kv_layout="mega", kv_bits=kvb,
+                          mega_tbp=tbp)
     caches = init_layer_caches(cfg, B, T_all, jnp.bfloat16, kv_layout="dense")
     logits, caches, _ = eng._prefill(eng.iparams, prompt, caches)
     l0 = logits[:, -1]
-    def dec():
-        cs = eng._to_mega(caches)
-        if kvb == 8:
-            toks, *_ = eng._decode_mega_kv8(
-                eng.iparams, eng.mega, l0, *cs, jnp.int32(PROMPT),
-                jax.random.PRNGKey(0), n_new=NEW, temperature=1.0,
-                top_k=None, top_p=None, do_sample=False, eos_token_id=None)
-        else:
-            toks, _, _ = eng._decode_mega(
-                eng.iparams, eng.mega, l0, *cs, jnp.int32(PROMPT),
-                jax.random.PRNGKey(0), n_new=NEW, temperature=1.0,
-                top_k=None, top_p=None, do_sample=False, eos_token_id=None)
-        return np.asarray(toks)
-    toks = dec()  # compile
-    t0 = time.perf_counter()
-    for _ in range(3): toks = dec()
-    dt = (time.perf_counter()-t0)/3
-    print(f"{label}: {dt*1e3:.1f} ms -> {B*NEW/dt:,.0f} tok/s "
-          f"({dt/NEW*1e6:.0f} us/step)", flush=True)
-    return toks
+    cs = eng._to_mega(caches)  # conversion OUTSIDE the timed region
+    kw = dict(n_new=NEW, temperature=1.0, top_k=None, top_p=None,
+              do_sample=False, eos_token_id=None)
 
-t16 = bench("int8_xla", 8, 16, "W8 KV16")
-t8  = bench("int8_xla", 8, 8,  "W8 KV8 ")
-t4  = bench("int4_xla", 4, 16, "W4 KV16")
-t44 = bench("int4_xla", 4, 8,  "W4 KV8 ")
-print("W8 token agreement KV8 vs KV16:",
-      float((t16 == t8).mean()), flush=True)
+    def dec(cs):
+        if kvb in (8, 4):
+            toks, *cs = eng._decode_mega_kv8(
+                eng.iparams, eng.mega, l0, *cs, jnp.int32(PROMPT),
+                jax.random.PRNGKey(0), **kw)
+        else:
+            toks, *cs = eng._decode_mega(
+                eng.iparams, eng.mega, l0, *cs, jnp.int32(PROMPT),
+                jax.random.PRNGKey(0), **kw)
+        jax.block_until_ready(cs)
+        return np.asarray(toks), tuple(cs)
+
+    toks, cs = dec(cs)  # compile
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        toks, cs = dec(cs)
+        ts.append(time.perf_counter() - t0)
+    med, mn = float(np.median(ts)), float(np.min(ts))
+    print(f"{label}: median {med*1e3:.1f} ms -> {B*NEW/med:,.0f} tok/s "
+          f"(min-based {B*NEW/mn:,.0f}; {med/NEW*1e6:.0f} us/step; "
+          f"spread {min(ts)*1e3:.1f}-{max(ts)*1e3:.1f} ms)", flush=True)
+    return toks, B * NEW / med
+
+
+t16, _ = bench("int8_xla", 8, 16, "W8 KV16")
+t8, _ = bench("int8_xla", 8, 8, "W8 KV8 ")
+t84, _ = bench("int8_xla", 8, 4, "W8 KV4 ")
+t4, _ = bench("int4_xla", 4, 16, "W4 KV16")
+t44, _ = bench("int4_xla", 4, 8, "W4 KV8 ")
+t444, _ = bench("int4_xla", 4, 4, "W4 KV4 ")
+print("W8 token agreement KV8 vs KV16:", float((t16 == t8).mean()), flush=True)
+print("W8 token agreement KV4 vs KV16:", float((t16 == t84).mean()), flush=True)

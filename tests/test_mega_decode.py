@@ -387,6 +387,89 @@ def test_engine_kv8_generate_runs():
     assert (a == c).mean() > 0.5  # prompt columns alone give ~0.54
 
 
+def test_kv4_noise_envelope_and_caches_roundtrip():
+    """int4-KV megakernel (±7 nibble codes packed along lane halves +
+    per-row scales): hidden states stay within the 4-bit attention noise
+    envelope of the f32-KV kernel, and the packed codes dequantize back to
+    the f32 cache rows within half a (coarse) scale step. Realizes the
+    reference's KV4 axis (W4A8KV4 / W8A8KV4, bit_configurations.py:4)."""
+    from llm_qat_tpu.ops.mega_decode import mega_decode_step_kv8
+    from llm_qat_tpu.train.calibration_manager import (
+        calibrate_input_quantizers,
+    )
+
+    cfg = _mega_config(4)
+    m = cfg.model
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    rng = np.random.default_rng(0)
+    params = calibrate_input_quantizers(
+        params, cfg,
+        [jnp.asarray(rng.integers(0, 256, (2, 32))) for _ in range(2)])
+    ip = quantize_for_inference(params, cfg, 8, dtype=jnp.float32,
+                                weight_format="int8_xla")
+    ip.pop("_static")
+    mw = pack_mega_weights(ip, cfg)
+    B, T, steps = 3, 128, 5
+    d = m.n_embd
+
+    kc = jnp.zeros((m.n_layer, B, T, d), jnp.float32)
+    vc = jnp.zeros_like(kc)
+    kc4 = jnp.zeros((m.n_layer, B, T, d // 2), jnp.int8)
+    vc4 = jnp.zeros_like(kc4)
+    ks = jnp.ones((m.n_layer, T, 128), jnp.float32)
+    vs = jnp.ones_like(ks)
+    toks = jnp.asarray(rng.integers(0, 256, (B, steps)))
+    for step in range(steps):
+        h = (ip["wte"][toks[:, step]]
+             + ip["wpe"][step][None]).astype(jnp.float32)
+        ha, kc, vc = mega_decode_step(
+            h, mw, kc, vc, jnp.int32(step), n_head=m.n_head,
+            head_dim=m.head_dim, has_lora=True, act_dtype=jnp.float32,
+            interpret=True)
+        hb, kc4, vc4, ks, vs = mega_decode_step_kv8(
+            h, mw, kc4, vc4, ks, vs, jnp.int32(step), n_head=m.n_head,
+            head_dim=m.head_dim, has_lora=True, act_dtype=jnp.float32,
+            kv_bits=4, interpret=True)
+        scale = float(jnp.max(jnp.abs(ha)))
+        # 4-bit attention: looser envelope than the kv8 test's 5%
+        assert float(jnp.max(jnp.abs(ha - hb))) < 0.15 * max(scale, 1.0), (
+            step, float(jnp.max(jnp.abs(ha - hb))), scale)
+    # layer-0 row-0 round-trip (same rationale as the kv8 test): unpack the
+    # lane-half nibbles and dequantize with the per-row scale
+    packed = np.asarray(kc4, np.int8)[0, :, 0]          # (B, d/2)
+    lo = ((packed.astype(np.int32) << 28) >> 28).astype(np.float32)
+    hi = (packed.astype(np.int32) >> 4).astype(np.float32)
+    codes = np.concatenate([lo, hi], axis=-1)           # (B, d)
+    assert np.abs(codes).max() <= 7
+    step_sz = np.asarray(ks)[0, 0, :B, None]
+    deq = codes * step_sz
+    want = np.asarray(kc, np.float32)[0, :, 0]
+    assert np.all(np.abs(deq - want) <= 0.51 * step_sz)
+
+
+def test_engine_kv4_generate_runs():
+    """kv_bits=4 engine path: deterministic greedy generate, right shapes,
+    prompt preserved (4-bit attention noise makes token-level comparison
+    with KV16 meaningless on a random model)."""
+    from llm_qat_tpu.models.inference import InferenceEngine
+
+    cfg = _mega_config(4)
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    kw = dict(bits=8, max_batch=2, max_len=96, dtype=jnp.float32,
+              weight_format="int8_xla", kv_layout="mega",
+              attn_interpret=True)
+    e4 = InferenceEngine(params, cfg, kv_bits=4, **kw)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, cfg.model.vocab_size, (2, 7))
+    a = np.asarray(e4.generate(prompt, max_new_tokens=6, do_sample=False))
+    b = np.asarray(e4.generate(prompt, max_new_tokens=6, do_sample=False))
+    assert a.shape == (2, 13)
+    np.testing.assert_array_equal(a, b)
+    assert (a[:, :7] == prompt).all()
+
+
 def test_engine_kv8_requires_mega():
     from llm_qat_tpu.models.inference import InferenceEngine
 
