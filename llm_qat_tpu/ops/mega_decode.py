@@ -639,15 +639,9 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
 # ---------------------------------------------------------------------------
 
 
-def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
-                     bias_ref, at_ref, bt_ref, ln_ref, kc_in, vc_in,
-                     ks_in, vs_in,
-                     o_ref, kc, vc, ksc, vsc,
-                     qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
-                     kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
-                     sem, ssem, rsem, rssem,
-                     *, eps, sm_scale, tbp, B, H, has_lora, act_dtype,
-                     wbits=8, aq_max=127.0, kv_bits=8):
+def _mega_kernel_kv8(*refs,
+                     eps, sm_scale, tbp, B, H, has_lora, act_dtype,
+                     wbits=8, aq_max=127.0, kv_bits=8, per_slot=False):
     """`_mega_kernel` with the KV cache in int8 (KV8 of the reference's
     W-A-KV configs, `part3_eval_sp/bit_configurations.py`): codes (L,B,T,d)
     int8 + per-row scales (L,B,T) f32. The attention dots run s8xs8->s32 on
@@ -668,12 +662,40 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
     into two s8 MXU dots over the corresponding Q lane-halves (scores) or
     output lane-halves (weighted V), and the packed tile needs no lane
     interleaving on unpack. Per-row scales unchanged. Quarter KV traffic.
+
+    per_slot=True (continuous batching, `mega_decode_step_cb`): two-level
+    KV. The MAIN caches hold each slot's prefix up to its own length
+    (pos_ref becomes the per-slot (B,) length vector + a max scalar) and
+    are READ-ONLY, masked per batch row. In-chunk tokens live in a small
+    chunk-local RECENT buffer (same layout, T = chunk size) at a
+    BATCH-UNIFORM position `rpos` (every slot decodes step i of the chunk
+    together), so the existing 8-row RMW append machinery applies to it
+    unchanged. XLA scatters into the 37 MB main caches measured ~300 µs
+    per token (copies); appending to the ~5 MB recent buffer and merging
+    per-slot ONCE per chunk amortizes that to ~5 µs/token.
     """
-    del kc_in, vc_in, ks_in, vs_in  # aliased
+    if per_slot:
+        (pos_ref, maxpos_ref, rpos_ref, xs_ref, h_ref, hm_ref, wt_ref,
+         ws_ref, bias_ref, at_ref, bt_ref, ln_ref, kcm, vcm, kscm, vscm,
+         kc_in, vc_in, ks_in, vs_in,
+         o_ref, kc, vc, ksc, vsc,
+         qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
+         kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
+         sem, ssem, rsem, rssem) = refs
+        del kc_in, vc_in, ks_in, vs_in  # aliased (recent buffers)
+        pos = rpos_ref[0]  # uniform position within the RECENT buffer
+    else:
+        (pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
+         at_ref, bt_ref, ln_ref, kc_in, vc_in, ks_in, vs_in,
+         o_ref, kc, vc, ksc, vsc,
+         qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
+         kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
+         sem, ssem, rsem, rssem) = refs
+        del kc_in, vc_in, ks_in, vs_in  # aliased
+        pos = pos_ref[0]
     l = pl.program_id(0)
     t = pl.program_id(1)
     d = h_ref.shape[1]
-    pos = pos_ref[0]
 
     @pl.when((l == 0) & (t == 0))
     def _():
@@ -751,6 +773,13 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
         vn = vcode * vs_new
         hm = hm_ref[:]
 
+        if per_slot:
+            # (B, 1, 1) per-slot MAIN-prefix lengths from the SMEM scalars
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+            pos_vec = jnp.zeros((B, 1, 1), jnp.int32)
+            for b_i in range(B):
+                pos_vec = jnp.where(iota_b == b_i, pos_ref[b_i], pos_vec)
+        # append-RMW targets the (recent, in per_slot mode) aliased caches
         grp8 = pl.multiple_of(_idiv(pos, 8) * 8, 8)
         sub = _irem(pos, 8)
         rk = pltpu.make_async_copy(kc.at[l, :, pl.ds(grp8, 8)], rmwk,
@@ -777,89 +806,107 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
                          1e-8) / 127.0                    # (B, H, 1)
         Qmq = _clamp(_rne(Qm / qs), -127.0, 127.0).astype(jnp.int8)
 
-        nblk = _idiv(pos + tbp - 1, tbp)
-
-        def get_dma(slot, j):
+        def get_dma(slot, j, srcs):
+            kcx, vcx, kscx, vscx = srcs
             off = pl.multiple_of(j * tbp, tbp)
             return (
-                pltpu.make_async_copy(kc.at[l, :, pl.ds(off, tbp)],
+                pltpu.make_async_copy(kcx.at[l, :, pl.ds(off, tbp)],
                                       kbuf.at[slot], sem.at[0, slot]),
-                pltpu.make_async_copy(vc.at[l, :, pl.ds(off, tbp)],
+                pltpu.make_async_copy(vcx.at[l, :, pl.ds(off, tbp)],
                                       vbuf.at[slot], sem.at[1, slot]),
-                pltpu.make_async_copy(ksc.at[l, pl.ds(off, tbp)],
+                pltpu.make_async_copy(kscx.at[l, pl.ds(off, tbp)],
                                       ksbuf.at[slot], ssem.at[0, slot]),
-                pltpu.make_async_copy(vsc.at[l, pl.ds(off, tbp)],
+                pltpu.make_async_copy(vscx.at[l, pl.ds(off, tbp)],
                                       vsbuf.at[slot], ssem.at[1, slot]),
             )
 
-        @pl.when(nblk > 0)
-        def _():
-            for c in get_dma(0, 0):
-                c.start()
+        def stream(carry0, srcs, nblk, limit):
+            """Online-softmax pass over one cache (double-buffered blocks);
+            `limit` is the valid-row bound — scalar (batch-uniform) or
+            (B, 1, 1) per-slot."""
 
-        def body(j, carry):
-            m, lsum, acc = carry
-            slot = _irem(j, 2)
-
-            @pl.when(j + 1 < nblk)
+            @pl.when(nblk > 0)
             def _():
-                for c in get_dma(_irem(j + 1, 2), j + 1):
+                for c in get_dma(0, 0, srcs):
                     c.start()
 
-            for c in get_dma(slot, j):
-                c.wait()
-            kb = kbuf[slot]        # (B, tbp, d) int8 codes — or packed d/2
-            ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tpb,B)->(B,tbp)
-            if kv_bits == 4:
-                kbi = kb.astype(jnp.int32)   # no int8 shifts on Mosaic
-                kb_lo = ((kbi << 28) >> 28).astype(jnp.int8)  # lanes [0, d/2)
-                kb_hi = (kbi >> 4).astype(jnp.int8)           # [d/2, d)
-                s32 = jax.lax.dot_general(
-                    Qmq[:, :, :d2], kb_lo, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32)
-                s32 = s32 + jax.lax.dot_general(
-                    Qmq[:, :, d2:], kb_hi, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32)
-            else:
-                s32 = jax.lax.dot_general(   # s8 x s8 -> s32 per-head scores
-                    Qmq, kb, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32)
-            s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
-            t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
-                                             2) + j * tbp
-            s = _sel(t_ids < pos, s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=2))
-            pbl = jnp.exp(s - m_new[:, :, None])
-            corr = jnp.exp(m - m_new)
-            l_new = lsum * corr + jnp.sum(pbl, axis=2)
-            # fold per-row V scales into the probabilities, then quantize
-            pscaled = pbl * jnp.transpose(
-                vsbuf[slot][:, :B])[:, None, :]
-            ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
-                             1e-30) / 127.0
-            pq = _clamp(_rne(pscaled / ps), -127.0, 127.0).astype(jnp.int8)
-            if kv_bits == 4:
-                vbi = vbuf[slot].astype(jnp.int32)
-                pv_lo = jax.lax.dot_general(
-                    pq, ((vbi << 28) >> 28).astype(jnp.int8),
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32)
-                pv_hi = jax.lax.dot_general(
-                    pq, (vbi >> 4).astype(jnp.int8),
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32)
-                pv32 = jnp.concatenate([pv_lo, pv_hi], axis=2)
-            else:
-                pv32 = jax.lax.dot_general(
-                    pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32)
-            pv = pv32.astype(jnp.float32) * ps
-            return m_new, l_new, acc * corr[:, :, None] + pv
+            def body(j, carry):
+                m, lsum, acc = carry
+                slot = _irem(j, 2)
+
+                @pl.when(j + 1 < nblk)
+                def _():
+                    for c in get_dma(_irem(j + 1, 2), j + 1, srcs):
+                        c.start()
+
+                for c in get_dma(slot, j, srcs):
+                    c.wait()
+                kb = kbuf[slot]    # (B, tbp, d) int8 codes — or packed d/2
+                ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tpb,B)->(B,tbp)
+                if kv_bits == 4:
+                    kbi = kb.astype(jnp.int32)   # no int8 shifts on Mosaic
+                    kb_lo = ((kbi << 28) >> 28).astype(jnp.int8)  # [0, d/2)
+                    kb_hi = (kbi >> 4).astype(jnp.int8)           # [d/2, d)
+                    s32 = jax.lax.dot_general(
+                        Qmq[:, :, :d2], kb_lo, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    s32 = s32 + jax.lax.dot_general(
+                        Qmq[:, :, d2:], kb_hi, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                else:
+                    s32 = jax.lax.dot_general(  # s8 x s8 -> s32 scores
+                        Qmq, kb, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
+                t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
+                                                 2) + j * tbp
+                s = _sel(t_ids < limit, s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=2))
+                pbl = jnp.exp(s - m_new[:, :, None])
+                corr = jnp.exp(m - m_new)
+                l_new = lsum * corr + jnp.sum(pbl, axis=2)
+                # fold per-row V scales into the probabilities, quantize
+                pscaled = pbl * jnp.transpose(
+                    vsbuf[slot][:, :B])[:, None, :]
+                ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
+                                 1e-30) / 127.0
+                pq = _clamp(_rne(pscaled / ps), -127.0,
+                            127.0).astype(jnp.int8)
+                if kv_bits == 4:
+                    vbi = vbuf[slot].astype(jnp.int32)
+                    pv_lo = jax.lax.dot_general(
+                        pq, ((vbi << 28) >> 28).astype(jnp.int8),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    pv_hi = jax.lax.dot_general(
+                        pq, (vbi >> 4).astype(jnp.int8),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    pv32 = jnp.concatenate([pv_lo, pv_hi], axis=2)
+                else:
+                    pv32 = jax.lax.dot_general(
+                        pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                pv = pv32.astype(jnp.float32) * ps
+                return m_new, l_new, acc * corr[:, :, None] + pv
+
+            return jax.lax.fori_loop(0, nblk, body, carry0)
 
         m0 = jnp.full((B, H), NEG_INF, jnp.float32)
         l0 = jnp.zeros((B, H), jnp.float32)
         a0 = jnp.zeros((B, H, d), jnp.float32)
-        m, lsum, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+        if per_slot:
+            # main prefixes (read-only, per-slot masked), then the
+            # chunk-local recent tokens (uniform position)
+            nblk_main = _idiv(maxpos_ref[0] + tbp - 1, tbp)
+            carry = stream((m0, l0, a0), (kcm, vcm, kscm, vscm),
+                           nblk_main, pos_vec)
+            nblk_rec = _idiv(pos + tbp - 1, tbp)
+            m, lsum, acc = stream(carry, (kc, vc, ksc, vsc), nblk_rec, pos)
+        else:
+            nblk = _idiv(pos + tbp - 1, tbp)
+            m, lsum, acc = stream((m0, l0, a0), (kc, vc, ksc, vsc), nblk,
+                                  pos)
 
         s_new = jax.lax.dot_general(
             q * kn, hm, (((1,), (1,)), ((), ())),
@@ -876,10 +923,6 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
             preferred_element_type=jnp.float32)
         attn2d = _rt(out / jnp.maximum(l_lanes, 1e-30))
 
-        rk.wait()
-        rv.wait()
-        rks.wait()
-        rvs.wait()
         if kv_bits == 4:
             def _pack(c):  # i32 bit math (no int8 shifts on Mosaic)
                 lo = c[:, :d2].astype(jnp.int32)
@@ -892,6 +935,14 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
             kbytes = kcode.astype(jnp.int8)
             vbytes = vcode.astype(jnp.int8)
         dc = kbytes.shape[1]
+        ks_lanes = jnp.dot(jnp.transpose(ks_new), eyeB,
+                           preferred_element_type=jnp.float32)  # (1, 128)
+        vs_lanes = jnp.dot(jnp.transpose(vs_new), eyeB,
+                           preferred_element_type=jnp.float32)
+        rk.wait()
+        rv.wait()
+        rks.wait()
+        rvs.wait()
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, dc), 1)
         selm = sub_ids == sub
         rmwk[:] = _sel(selm, jnp.broadcast_to(
@@ -900,10 +951,6 @@ def _mega_kernel_kv8(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref,
             vbytes[:, None, :], (B, 8, dc)), rmwv[:])
         sub_ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         selm2 = sub_ids2 == sub
-        ks_lanes = jnp.dot(jnp.transpose(ks_new), eyeB,
-                           preferred_element_type=jnp.float32)  # (1, 128)
-        vs_lanes = jnp.dot(jnp.transpose(vs_new), eyeB,
-                           preferred_element_type=jnp.float32)
         rmwks[:] = _sel(selm2, jnp.broadcast_to(ks_lanes, (8, 128)),
                         rmwks[:])
         rmwvs[:] = _sel(selm2, jnp.broadcast_to(vs_lanes, (8, 128)),
@@ -1100,3 +1147,163 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
       k_cache, v_cache, k_scale, v_scale)
 
     return out, kc, vc, ks, vs
+
+
+def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
+                        vs_main, k_rec, v_rec, ks_rec, vs_rec, lengths,
+                        rpos, *, n_head: int, head_dim: int,
+                        has_lora: bool, eps: float = 1e-5, tbp: int = 64,
+                        act_dtype=jnp.bfloat16, aq_max: float = 127.0,
+                        kv_bits: int = 8, interpret: bool = False):
+    """Continuous-batching megakernel step: per-slot prefixes, two-level KV.
+
+    k_main/v_main (L, B, Tc, dc) + ks_main/vs_main (L, Tc, 128): each
+    slot's prefix up to `lengths[b]` (READ-ONLY). k_rec/v_rec
+    (L, B, Tr, dc) + ks_rec/vs_rec (L, Tr, 128): the chunk-local recent
+    buffer, DONATED and appended at the batch-uniform `rpos` (step index
+    within the chunk) via the same 8-row RMW as the shared kernel. Merge
+    the recent rows into the main caches once per chunk with
+    `cb_merge_recent` (XLA scatters into the big caches cost ~300 µs per
+    token when done per step — the round-4 measurement motivating this
+    design). Returns (h_out, k_rec, v_rec, ks_rec, vs_rec).
+    """
+    B, d = h.shape
+    L = mw.wt.shape[0]
+    r = mw.at.shape[3]
+    D, H = head_dim, n_head
+    assert H * D == d
+    if d % 128:
+        raise ValueError(f"mega_decode_step_cb needs d % 128 == 0; got {d}")
+    if kv_bits not in (8, 4):
+        raise ValueError(f"kv_bits must be 8 or 4; got {kv_bits}")
+    dc = d if kv_bits == 8 else d // 2
+    if kv_bits == 4 and dc % 128 and not interpret:
+        raise ValueError(f"kv_bits=4 needs d % 256 == 0; got d={d}")
+    Tc = k_main.shape[2]
+    Tr = k_rec.shape[2]
+    assert k_main.shape == (L, B, Tc, dc), (k_main.shape, dc)
+    assert k_rec.shape == (L, B, Tr, dc), (k_rec.shape, dc)
+    assert ks_main.shape == (L, Tc, 128), ks_main.shape
+    assert ks_rec.shape == (L, Tr, 128), ks_rec.shape
+    assert lengths.shape == (B,), lengths.shape
+    tbp = min(tbp, Tc, Tr)
+    while (Tc % tbp or Tr % tbp) and tbp > 8:
+        tbp -= 8
+    assert Tc % tbp == 0 and Tr % tbp == 0 and tbp % 8 == 0, (Tc, Tr, tbp)
+    sm_scale = 1.0 / math.sqrt(D)
+    ldt = mw.at.dtype
+    dk = mw.wt.shape[2]
+    wbits = 4 if dk == d // 2 else 8
+
+    hm = (jnp.arange(d) // D == jnp.arange(H)[:, None]).astype(jnp.float32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    maxpos = jnp.max(lengths).reshape(1)
+
+    kernel = functools.partial(
+        _mega_kernel_kv8, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
+        has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
+        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits, per_slot=True)
+
+    grid = (L, N_TILES)
+    out, kr, vr, ksr, vsr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # lengths (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # maxpos (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # rpos (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # xs
+            pl.BlockSpec((B, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),            # h
+            pl.BlockSpec((H, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),            # head mask
+            pl.BlockSpec((1, 1, dk, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # wt
+            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # ws
+            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+                         memory_space=pltpu.VMEM),            # bias
+            pl.BlockSpec((1, 1, d, r),
+                         lambda l, t: (l, _at_idx(t), 0, 0),
+                         memory_space=pltpu.VMEM),            # at
+            pl.BlockSpec((1, 1, r, d),
+                         lambda l, t: (l, _bt_idx(t), 0, 0),
+                         memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # ln
+            pl.BlockSpec(memory_space=pltpu.ANY),             # k_main (ro)
+            pl.BlockSpec(memory_space=pltpu.ANY),             # v_main (ro)
+            pl.BlockSpec(memory_space=pltpu.ANY),             # ks_main (ro)
+            pl.BlockSpec(memory_space=pltpu.ANY),             # vs_main (ro)
+            pl.BlockSpec(memory_space=pltpu.ANY),             # k_rec
+            pl.BlockSpec(memory_space=pltpu.ANY),             # v_rec
+            pl.BlockSpec(memory_space=pltpu.ANY),             # ks_rec
+            pl.BlockSpec(memory_space=pltpu.ANY),             # vs_rec
+        ],
+        out_specs=(
+            pl.BlockSpec((B, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),            # h_out
+            pl.BlockSpec(memory_space=pltpu.ANY),             # k_rec out
+            pl.BlockSpec(memory_space=pltpu.ANY),             # v_rec out
+            pl.BlockSpec(memory_space=pltpu.ANY),             # ks_rec out
+            pl.BlockSpec(memory_space=pltpu.ANY),             # vs_rec out
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, d), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, Tr, dc), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, Tr, dc), jnp.int8),
+            jax.ShapeDtypeStruct((L, Tr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((L, Tr, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, B, d), jnp.float32),    # qkv_s
+            pltpu.VMEM((B, d), jnp.int8),          # qx_s
+            pltpu.VMEM((B, d), jnp.float32),       # hn2_s
+            pltpu.VMEM((4, B, d), jnp.float32),    # g_s
+            pltpu.VMEM((B, d), jnp.int32),         # acc_s
+            pltpu.VMEM((2, B, r), jnp.float32),    # xam_s
+            pltpu.VMEM((2, B, tbp, dc), jnp.int8),  # kbuf
+            pltpu.VMEM((2, B, tbp, dc), jnp.int8),  # vbuf
+            pltpu.VMEM((2, tbp, 128), jnp.float32),  # ksbuf
+            pltpu.VMEM((2, tbp, 128), jnp.float32),  # vsbuf
+            pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwk
+            pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwv
+            pltpu.VMEM((8, 128), jnp.float32),     # rmwks
+            pltpu.VMEM((8, 128), jnp.float32),     # rmwvs
+            pltpu.SemaphoreType.DMA((2, 2)),       # sem (KV)
+            pltpu.SemaphoreType.DMA((2, 2)),       # ssem (scales)
+            pltpu.SemaphoreType.DMA((2,)),         # rsem
+            pltpu.SemaphoreType.DMA((2,)),         # rssem
+        ],
+        input_output_aliases={16: 1, 17: 2, 18: 3, 19: 4},
+        interpret=interpret,
+    )(lengths, maxpos, jnp.asarray(rpos, jnp.int32).reshape(1), mw.xs,
+      h.astype(jnp.float32), hm, mw.wt, mw.ws, mw.bias,
+      mw.at.astype(ldt), mw.bt.astype(ldt), mw.ln,
+      k_main, v_main, ks_main, vs_main, k_rec, v_rec, ks_rec, vs_rec)
+
+    return out, kr, vr, ksr, vsr
+
+
+def cb_merge_recent(kc, vc, ksc, vsc, k_rec, v_rec, ks_rec, vs_rec,
+                    lengths, k: int):
+    """Merge the chunk's `k` recent rows into the main caches, per slot.
+
+    One (L, 1, k, dc) dynamic_update_slice per slot per cache — a few
+    hundred µs total, paid ONCE per chunk instead of per token. Inactive
+    slots merge garbage at their (stale) position — harmless: their rows
+    are never attended and prefill overwrites on slot reuse.
+    """
+    L, B, T, dc = kc.shape
+    k = min(k, T)
+    for b in range(B):
+        row = jnp.clip(lengths[b], 0, T - k)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k_rec[:, b:b + 1, :k], (0, b, row, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v_rec[:, b:b + 1, :k], (0, b, row, 0))
+        ksc = jax.lax.dynamic_update_slice(
+            ksc, ks_rec[:, :k, b:b + 1], (0, row, b))
+        vsc = jax.lax.dynamic_update_slice(
+            vsc, vs_rec[:, :k, b:b + 1], (0, row, b))
+    return kc, vc, ksc, vsc

@@ -16,8 +16,9 @@ from .multihost import (
     make_global_batch,
 )
 from .cp_forward import sp_forward_context_parallel
-from .pipeline import (make_pp_train_step, pipeline_sp_forward,
-                       pp_param_specs, shard_params_pp)
+from .pipeline import (make_pp_sp_train_step, make_pp_train_step,
+                       pipeline_sp_forward, pp_param_specs,
+                       shard_params_pp)
 from .ring_attention import ring_attention
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "replicated",
     "shard_params",
     "sp_param_specs",
+    "make_pp_sp_train_step",
     "make_pp_train_step",
     "pipeline_sp_forward",
     "pp_param_specs",

@@ -54,6 +54,21 @@ class StaticSynonyms:
         "woman": ["lady", "person"],
         "old": ["ancient", "aged", "elderly"],
         "new": ["fresh", "recent", "modern"],
+        # coverage for the offline synthetic corpus vocabulary
+        # (`data/lm_datasets.py::synthetic_corpus`) so the attack loop has
+        # substitution candidates in zero-egress runs
+        "model": ["system", "network", "architecture"],
+        "precision": ["accuracy", "exactness"],
+        "quantization": ["discretization", "rounding"],
+        "tensor": ["array", "matrix"],
+        "layer": ["level", "block"],
+        "training": ["learning", "optimization"],
+        "gradient": ["slope", "derivative"],
+        "attention": ["focus", "concentration"],
+        "language": ["speech", "text"],
+        "compute": ["calculation", "processing"],
+        "memory": ["storage", "cache"],
+        "scale": ["size", "magnitude"],
     }
 
     def get_synonyms(self, word: str, max_candidates: int = 10) -> List[str]:

@@ -60,13 +60,22 @@ class Request:
     done: bool = False
 
 
-def _sample_slots(logits, keys, counts, temp, top_k, top_p, do_sample):
+def _sample_slots(logits, keys, counts, temp, top_k, top_p, do_sample,
+                  greedy_only: bool = False):
     """Per-slot sampling: logits (B, V), keys (B, 2) uint32 per-request PRNG
     keys, counts (B,) token index within each request (the fold_in stream —
     token i of a request always uses fold_in(req_key, i), making chunked and
     stepwise decode bit-identical). Greedy rows take argmax of the filtered
     logits (filters keep the max, so == plain argmax). Reference sampling
-    semantics: `models_sp.py:473-491`."""
+    semantics: `models_sp.py:473-491`.
+
+    `greedy_only` (STATIC, decided by the host from the active requests'
+    settings) skips `_filter_logits_vec` entirely: its two full sorts over
+    (B, vocab) cost ~1 ms/step on v5e and dominated the CB decode chunk
+    when every request was greedy anyway (round-4 measurement,
+    scripts/cb_bench.py)."""
+    if greedy_only:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     from ..models.generate import _filter_logits_vec
 
     filt = _filter_logits_vec(logits, temp, top_k, top_p)
@@ -81,7 +90,8 @@ def _sample_slots(logits, keys, counts, temp, top_k, top_p, do_sample):
 
 def _decode_step(iparams, tokens, caches, lengths, active, keys, counts,
                  temp, top_k, top_p, do_sample, cfg: SPModelConfig,
-                 static: StaticMeta, attn_interpret: bool = False):
+                 static: StaticMeta, attn_interpret: bool = False,
+                 greedy_only: bool = False):
     """One token for every slot. tokens (B, 1); lengths (B,) current lengths;
     active (B,) bool; keys/counts/temp/top_k/top_p/do_sample (B,) per-slot
     sampling state. Returns (next_token (B,), new_caches)."""
@@ -155,7 +165,8 @@ def _decode_step(iparams, tokens, caches, lengths, active, keys, counts,
             m.layer_norm_epsilon)
     logits = jnp.dot(h[:, 0], iparams["wte"].T,
                      preferred_element_type=jnp.float32)
-    nxt = _sample_slots(logits, keys, counts, temp, top_k, top_p, do_sample)
+    nxt = _sample_slots(logits, keys, counts, temp, top_k, top_p, do_sample,
+                        greedy_only)
     # inactive slots keep token 0 (ignored by the host)
     nxt = jnp.where(active, nxt, 0)
     return nxt, tuple(new_caches)
@@ -169,7 +180,8 @@ class ContinuousBatchingEngine:
                  n_slots: int = 8, max_len: int = 512,
                  eos_token_id: Optional[int] = None, dtype=jnp.bfloat16,
                  weight_format: str = "dense", lm_head_int8: bool = False,
-                 kv_layout: str = "auto", attn_interpret: bool = False,
+                 kv_layout: str = "auto", kv_bits: int = 8,
+                 mega_tbp: int = 64, attn_interpret: bool = False,
                  rng=None):
         from ..ops.decode_attention import kv_pack_factor
 
@@ -211,9 +223,10 @@ class ContinuousBatchingEngine:
 
         self._step = jax.jit(
             lambda ip, toks, caches, lengths, active, keys, counts, temp,
-            tk, tp, ds: _decode_step(
+            tk, tp, ds, greedy=False: _decode_step(
                 ip, toks, caches, lengths, active, keys, counts, temp, tk,
-                tp, ds, cfg_, static, attn_interpret)
+                tp, ds, cfg_, static, attn_interpret, greedy),
+            static_argnames=("greedy",),
         )
         self._sample_first = jax.jit(_sample_slots)
 
@@ -223,14 +236,16 @@ class ContinuousBatchingEngine:
         # slot finishing mid-chunk generates discard-tokens; stale K/V past
         # a finished slot's length is never attended (per-slot masks) and
         # prefill overwrites on reuse.
-        @partial(jax.jit, static_argnames=("k",), donate_argnums=(2,))
+        @partial(jax.jit, static_argnames=("k", "greedy"),
+                 donate_argnums=(2,))
         def _step_chunk(ip, toks, caches, lengths, active, keys, counts,
-                        temp, tk, tp, ds, k):
+                        temp, tk, tp, ds, k, greedy=False):
             def body(carry, _):
                 toks, caches, lengths, counts = carry
                 nxt, caches = _decode_step(ip, toks, caches, lengths, active,
                                            keys, counts, temp, tk, tp, ds,
-                                           cfg_, static, attn_interpret)
+                                           cfg_, static, attn_interpret,
+                                           greedy)
                 lengths = jnp.where(active, lengths + 1, lengths)
                 counts = jnp.where(active, counts + 1, counts)
                 return (nxt[:, None], caches, lengths, counts), nxt
@@ -245,10 +260,12 @@ class ContinuousBatchingEngine:
         # cache, then insert each layer's K/V rows into the slot
         from ..models.inference import infer_forward_unrolled
 
+        prefill_layout = "dense" if kv_layout == "mega" else kv_layout
+
         @partial(jax.jit, static_argnames=("pad_len",))
         def _prefill(ip, ids, pad_len):
             caches1 = init_layer_caches(cfg_, 1, self.max_len, dtype,
-                                        kv_layout=kv_layout)
+                                        kv_layout=prefill_layout)
             logits, caches1, _ = infer_forward_unrolled(
                 ip, ids, cfg_, caches1, jnp.int32(0), static=static,
                 initial_prefill=True, attn_interpret=attn_interpret)
@@ -275,6 +292,139 @@ class ContinuousBatchingEngine:
 
         self._insert_slot = _insert_slot
 
+        if kv_layout == "mega":
+            self._setup_mega(kv_bits, mega_tbp, attn_interpret)
+
+    def _setup_mega(self, kv_bits: int, mega_tbp: int,
+                    attn_interpret: bool):
+        """Megakernel decode path for mixed per-slot positions
+        (VERDICT r3 #6): every layer of a continuous-batching decode step
+        in ONE Pallas call via `mega_decode_step_cb`, with two-level KV —
+        per-slot main caches (read-only within a chunk) + a chunk-local
+        recent buffer appended at the batch-uniform step index, merged
+        into main once per chunk (per-token XLA scatters into the big
+        caches measured ~300 µs; the chunk merge amortizes that away)."""
+        from ..models.inference import _lm_head, _ln
+        from ..ops.mega_decode import (
+            cb_merge_recent, mega_decode_step_cb, pack_mega_weights,
+        )
+
+        cfg_ = self.cfg
+        m = cfg_.model
+        dtype = self.dtype
+        if kv_bits not in (8, 4):
+            raise ValueError(f"mega CB needs kv_bits 8 or 4; got {kv_bits}")
+        self.kv_bits = kv_bits
+        self.mega = pack_mega_weights(self.iparams, cfg_)
+        self._has_lora = "lora_A" in self.iparams["blocks"]["c_attn"]
+        _ca = self.iparams["blocks"]["c_attn"]
+        aq_max = (float(np.asarray(_ca["qmax"])[0])
+                  if "qmax" in _ca else 127.0)
+        qmax_kv = 127 if kv_bits == 8 else 7
+        dc = m.n_embd if kv_bits == 8 else m.n_embd // 2
+        L, B, T = m.n_layer, self.n_slots, self.max_len
+        tbp = min(mega_tbp, T)
+        while T % tbp and tbp > 8:
+            tbp -= 8
+        self.caches = (
+            jnp.zeros((L, B, T, dc), jnp.int8),
+            jnp.zeros((L, B, T, dc), jnp.int8),
+            jnp.ones((L, T, 128), jnp.float32),
+            jnp.ones((L, T, 128), jnp.float32),
+        )
+
+        def _recent(tr):
+            return (jnp.zeros((L, B, tr, dc), jnp.int8),
+                    jnp.zeros((L, B, tr, dc), jnp.int8),
+                    jnp.ones((L, tr, 128), jnp.float32),
+                    jnp.ones((L, tr, 128), jnp.float32))
+
+        def _inner(ip, tokens, main, rec, lengths0, rpos, keys, counts,
+                   temp, tk, tp, ds, greedy):
+            pos_abs = jnp.clip(lengths0 + rpos, 0, m.n_positions - 1)
+            h = (ip["wte"][tokens[:, 0]]
+                 + ip["wpe"][pos_abs].astype(ip["wte"].dtype)).astype(
+                     jnp.float32)
+            h_out, *rec = mega_decode_step_cb(
+                h, self.mega, *main, *rec, lengths0, rpos, n_head=m.n_head,
+                head_dim=m.head_dim, has_lora=self._has_lora,
+                eps=m.layer_norm_epsilon, tbp=tbp, act_dtype=dtype,
+                aq_max=aq_max, kv_bits=kv_bits, interpret=attn_interpret)
+            hf = _ln(h_out[:, None, :].astype(dtype), ip["ln_f"]["g"],
+                     ip["ln_f"]["b"], m.layer_norm_epsilon)
+            logits = _lm_head(ip, hf)[:, 0]
+            nxt = _sample_slots(logits, keys, counts, temp, tk, tp, ds,
+                                greedy)
+            return nxt, tuple(rec)
+
+        def _mega_step(ip, tokens, caches, lengths, active, keys, counts,
+                       temp, tk, tp, ds, greedy=False):
+            rec = _recent(tbp)
+            nxt, rec = _inner(ip, tokens, caches, rec, lengths,
+                              jnp.int32(0), keys, counts, temp, tk, tp,
+                              ds, greedy)
+            caches = cb_merge_recent(*caches, *rec, lengths, 1)
+            return jnp.where(active, nxt, 0), caches
+
+        self._step = jax.jit(_mega_step, static_argnames=("greedy",))
+
+        @partial(jax.jit, static_argnames=("k", "greedy"),
+                 donate_argnums=(2,))
+        def _step_chunk(ip, toks, caches, lengths, active, keys, counts,
+                        temp, tk, tp, ds, k, greedy=False):
+            tr = -(-k // tbp) * tbp
+            rec0 = _recent(tr)
+
+            def body(carry, i):
+                toks, rec, counts = carry
+                nxt, rec = _inner(ip, toks, caches, rec, lengths, i, keys,
+                                  counts, temp, tk, tp, ds, greedy)
+                counts = jnp.where(active, counts + 1, counts)
+                return (nxt[:, None], rec, counts), jnp.where(active, nxt, 0)
+
+            (_, rec, _), toks_out = jax.lax.scan(
+                body, (toks, rec0, counts), jnp.arange(k))
+            caches = cb_merge_recent(*caches, *rec, lengths, k)
+            return toks_out.T, caches
+
+        self._step_chunk = _step_chunk
+
+        # dense B=1 prefill caches -> row-major quantized rows -> slot
+        @partial(jax.jit, donate_argnums=(0,))
+        def _insert_slot(caches, caches1, slot, t0):
+            kc, vc, ksc, vsc = caches
+
+            def conv(c):  # (1, H, T, D) -> (T, d)
+                _, H_, T_, D_ = c.shape
+                return c[0].transpose(1, 0, 2).reshape(T_, H_ * D_)
+
+            def quant(rows):  # (L, T, d) -> codes (L, T, dc), scales (L, T)
+                rf = rows.astype(jnp.float32)
+                s = jnp.maximum(jnp.max(jnp.abs(rf), axis=-1), 1e-8) / qmax_kv
+                codes = jnp.clip(jnp.round(rf / s[..., None]),
+                                 -qmax_kv, qmax_kv).astype(jnp.int8)
+                if kv_bits == 4:
+                    d2 = codes.shape[-1] // 2
+                    codes = ((codes[..., :d2] & 0xF) | (codes[..., d2:] << 4))
+                return codes, s
+
+            k_rows = jnp.stack([conv(c) for c in caches1[0::2]])
+            v_rows = jnp.stack([conv(c) for c in caches1[1::2]])
+            k_codes, k_s = quant(k_rows)
+            v_codes, v_s = quant(v_rows)
+            t_idx = jnp.arange(T)
+            keep = (t_idx < t0)[None, :, None]
+            kc = kc.at[:, slot].set(jnp.where(keep, k_codes, kc[:, slot]))
+            vc = vc.at[:, slot].set(jnp.where(keep, v_codes, vc[:, slot]))
+            keep2 = (t_idx < t0)[None, :]
+            ksc = ksc.at[:, :, slot].set(
+                jnp.where(keep2, k_s, ksc[:, :, slot]))
+            vsc = vsc.at[:, :, slot].set(
+                jnp.where(keep2, v_s, vsc[:, :, slot]))
+            return kc, vc, ksc, vsc
+
+        self._insert_slot = _insert_slot
+
     # -- public API --------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int = 32, *,
                temperature: float = 1.0, top_k: Optional[int] = None,
@@ -284,6 +434,15 @@ class ContinuousBatchingEngine:
                       top_p=top_p, do_sample=do_sample)
         self.queue.append(req)
         return req.req_id
+
+    def _all_greedy(self, active_np) -> bool:
+        """STATIC sampling-mode flag: True when every active request is
+        plain greedy (skips the (B, vocab) sort-based filter per step; at
+        most two executables per chunk size)."""
+        return bool(
+            not self.do_sample[active_np].any()
+            and (self.top_k[active_np] == 0).all()
+            and (self.top_p[active_np] == 1.0).all())
 
     def _bucket(self, n: int) -> int:
         b = 8
@@ -359,7 +518,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(active_np), jnp.asarray(self.slot_keys),
             jnp.asarray(self.gen_counts), jnp.asarray(self.temp),
             jnp.asarray(self.top_k), jnp.asarray(self.top_p),
-            jnp.asarray(self.do_sample),
+            jnp.asarray(self.do_sample), greedy=self._all_greedy(active_np),
         )
         nxt = np.asarray(nxt)
         for slot, req in enumerate(self.slot_req):
@@ -399,6 +558,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(self.gen_counts), jnp.asarray(self.temp),
             jnp.asarray(self.top_k), jnp.asarray(self.top_p),
             jnp.asarray(self.do_sample), k=k_eff,
+            greedy=self._all_greedy(active_np),
         )
         toks_out = np.asarray(toks_out)  # (B, k_eff) — the one host sync
         for slot, req in enumerate(self.slot_req):

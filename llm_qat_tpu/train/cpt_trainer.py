@@ -352,17 +352,29 @@ def _fold_stats(a, b):
 
 
 def cpt_trainable_mask(params):
-    """CPT trains base weights + LoRA + LN; embeddings and quantizer banks
-    frozen (reference freezes pretrained base? No — CPTLinear's base Linear is
-    trainable, `cpt_model.py:38-44`; only embeddings follow part1's freeze)."""
-    frozen = {"wq_scale", "wq_zp", "iq_scale", "iq_zp",
-              "gq_scale_A", "gq_zp_A", "gq_scale_B", "gq_zp_B"}
+    """CPT trains ONLY the LayerNorm affines and the shared LoRA pair.
+
+    The reference freezes every pretrained base linear weight AND bias —
+    `main_cpt.py:117-133` sets `.linear.weight/.bias.requires_grad = False`
+    for all four block linears and `:141-142` for lm_head — while ln_1/
+    ln_2/ln_f affines (`:107-113,143-144`) and the shared LoRA A/B
+    (`:148-152`) stay trainable. This is the source of the report's
+    3.2M-trainable (1.9%) CPT footprint vs SP's 132.1M (51.4%)
+    (`Report...md:135-139`); round 3's mask wrongly trained the base
+    linears too."""
+    frozen_leaves = {"wq_scale", "wq_zp", "iq_scale", "iq_zp",
+                     "gq_scale_A", "gq_zp_A", "gq_scale_B", "gq_zp_B"}
+    linears = {"c_attn", "attn_proj", "c_fc", "mlp_proj", "lm_head"}
 
     def f(path, leaf):
         keys = [p.key for p in path if hasattr(p, "key")]
         if keys[0] in ("wte", "wpe"):
             return False
-        return keys[-1] not in frozen
+        if keys[-1] in frozen_leaves:
+            return False
+        if keys[-1] in ("w", "b") and any(k in linears for k in keys):
+            return False  # frozen pretrained base linears
+        return True  # LN g/b + shared lora_A/lora_B
 
     return jax.tree_util.tree_map_with_path(f, params)
 

@@ -71,9 +71,16 @@ def feature_distillation_loss(student_hidden, teacher_hidden, layer_idx,
 def distillation_loss(student_logits, student_hidden, teacher: TeacherOutputs,
                       layer_idx, *, alpha_kl: float, alpha_feature: float,
                       temperature: float, accumulative: bool = False):
-    """Total student loss (`distillation_manager.py:112-116`)."""
-    kl = kl_distillation_loss(student_logits, teacher.logits, temperature)
-    feat = feature_distillation_loss(
-        student_hidden, teacher.hidden_states, layer_idx, accumulative
-    )
-    return alpha_kl * kl + alpha_feature * feat
+    """Total student loss (`distillation_manager.py:112-116`).
+
+    Zero alphas (python floats) skip their term entirely at trace time —
+    XLA cannot DCE `0.0 * kl` itself (inf/nan semantics), and the KL term
+    alone materializes two (B, T, vocab) softmax stacks."""
+    total = jnp.zeros(())
+    if alpha_kl:
+        total = total + alpha_kl * kl_distillation_loss(
+            student_logits, teacher.logits, temperature)
+    if alpha_feature:
+        total = total + alpha_feature * feature_distillation_loss(
+            student_hidden, teacher.hidden_states, layer_idx, accumulative)
+    return total

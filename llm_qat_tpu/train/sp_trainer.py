@@ -87,7 +87,7 @@ class SPTrainState(NamedTuple):
 
 def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
                        tables: Optional[PrecTables] = None,
-                       attention_fn=None):
+                       attention_fn=None, forward_fn=None):
     """Build (init_state, train_step) for the SP multi-precision loop.
 
     `train_step(state, batch_ids, rng)` returns (state, metrics) and is safe
@@ -98,7 +98,16 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
     context-parallel (sequence-sharded) attention inside the same jitted
     step (see `parallel/cp_forward.py`; exercised by
     `__graft_entry__.dryrun_multichip`).
+
+    `forward_fn` swaps the model forward wholesale (mutually exclusive
+    with `attention_fn`): it must accept the `sp_forward` keyword subset
+    (tables/labels/deterministic/dropout_rng/output_hidden_states) — pass
+    `partial(pipeline_sp_forward, mesh=mesh)` to run the SAME teacher +
+    sampled-students distillation iteration through the GPipe pipeline
+    schedule (`parallel/pipeline.py::make_pp_sp_train_step`).
     """
+    if forward_fn is not None and attention_fn is not None:
+        raise ValueError("forward_fn and attention_fn are mutually exclusive")
     q = cfg.quant
     tables = tables if tables is not None else prec_tables(q)
     teacher_slot = q.prec_index(q.teacher_bits)
@@ -139,12 +148,21 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
             step=jnp.zeros((), jnp.int32),
         )
 
-    def teacher_loss_fn(params, ids, rng):
-        out = sp_forward(
-            params, ids, jnp.int32(teacher_slot), cfg, tables=tables,
-            labels=ids, deterministic=False, dropout_rng=rng,
+    def _forward(params, ids, prec, rng, labels):
+        if forward_fn is not None:
+            return forward_fn(
+                params, ids, prec, cfg, tables=tables, labels=labels,
+                deterministic=False, dropout_rng=rng,
+                output_hidden_states=True,
+            )
+        return sp_forward(
+            params, ids, prec, cfg, tables=tables, labels=labels,
+            deterministic=False, dropout_rng=rng,
             output_hidden_states=True, attention_fn=attention_fn,
         )
+
+    def teacher_loss_fn(params, ids, rng):
+        out = _forward(params, ids, jnp.int32(teacher_slot), rng, ids)
         aux = TeacherOutputs(
             logits=jax.lax.stop_gradient(out["logits"]),
             hidden_states=out["hidden_states"],
@@ -152,11 +170,7 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
         return out["loss"] / accum, aux
 
     def student_loss_fn(params, ids, prec, rng, layer_idx, teacher: TeacherOutputs):
-        out = sp_forward(
-            params, ids, prec, cfg, tables=tables, deterministic=False,
-            dropout_rng=rng, output_hidden_states=True,
-            attention_fn=attention_fn,
-        )
+        out = _forward(params, ids, prec, rng, None)
         loss = distillation_loss(
             out["logits"], out["hidden_states"], teacher, layer_idx,
             alpha_kl=tcfg.distill_alpha_kl,

@@ -205,12 +205,21 @@ class TestCPTTraining:
             state, _ = step(state, batches[0], jnp.int32(prec_index(cfg, bits)))
         assert traces[0] == 1
 
-    def test_mask_freezes_quant_state(self, cpt_setup):
+    def test_mask_freezes_base_and_quant_state(self, cpt_setup):
+        """Reference CPT freezes every pretrained base linear weight/bias
+        (`main_cpt.py:117-133,141-142`) and trains only LN affines + the
+        shared LoRA pair — the source of its 1.9%-trainable footprint
+        (`Report...md:135-139`)."""
         cfg, params, _, _ = cpt_setup
         mask = cpt_trainable_mask(params)
-        assert mask["blocks"]["c_fc"]["w"] is True
+        assert mask["blocks"]["c_fc"]["w"] is False
+        assert mask["blocks"]["c_fc"]["b"] is False
+        assert mask["lm_head"]["w"] is False
         assert mask["blocks"]["c_fc"]["gq_scale_A"] is False
         assert mask["lm_head"]["lora_A"] is True
+        assert mask["blocks"]["ln1"]["g"] is True
+        assert mask["blocks"]["ln1"]["b"] is True
+        assert mask["ln_f"]["b"] is True
         assert mask["wte"] is False
 
 

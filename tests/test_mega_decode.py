@@ -470,6 +470,97 @@ def test_engine_kv4_generate_runs():
     assert (a[:, :7] == prompt).all()
 
 
+def test_cb_per_slot_matches_per_slot_shared_runs():
+    """Continuous-batching kernel (`mega_decode_step_cb`): mixed per-slot
+    prefix lengths in ONE call must equal running each slot alone through
+    the shared-position kv8 kernel (exact: the per-row masks zero the
+    over-streamed blocks; VERDICT r3 #6)."""
+    from llm_qat_tpu.ops.mega_decode import (
+        cb_merge_recent, mega_decode_step_cb, mega_decode_step_kv8,
+    )
+    from llm_qat_tpu.train.calibration_manager import (
+        calibrate_input_quantizers,
+    )
+
+    cfg = _mega_config(4)
+    m = cfg.model
+    params = init_sp_params(jax.random.PRNGKey(0), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    rng = np.random.default_rng(0)
+    params = calibrate_input_quantizers(
+        params, cfg,
+        [jnp.asarray(rng.integers(0, 256, (2, 32))) for _ in range(2)])
+    ip = quantize_for_inference(params, cfg, 8, dtype=jnp.float32,
+                                weight_format="int8_xla")
+    ip.pop("_static")
+    mw = pack_mega_weights(ip, cfg)
+    B, T, d = 3, 64, m.n_embd
+    lengths = np.asarray([5, 0, 9], np.int32)
+
+    # per-slot reference state: advance each slot alone to its length
+    kc = jnp.zeros((m.n_layer, B, T, d), jnp.int8)
+    vc = jnp.zeros_like(kc)
+    ks = jnp.ones((m.n_layer, T, 128), jnp.float32)
+    vs = jnp.ones_like(ks)
+    # tbp must MATCH between the reference runs and the CB call: the
+    # streamed-block partition determines the per-block probability
+    # quantization, and the CB call's recent buffer (Tr=8) clamps its tbp
+    # to 8
+    kw = dict(n_head=m.n_head, head_dim=m.head_dim, has_lora=True,
+              act_dtype=jnp.float32, tbp=8, interpret=True)
+    toks = rng.integers(0, 256, (B, int(lengths.max()) + 1))
+    want_h = np.zeros((B, d), np.float32)
+    for b in range(B):
+        kcb = jnp.zeros((m.n_layer, 1, T, d), jnp.int8)
+        vcb = jnp.zeros_like(kcb)
+        ksb = jnp.ones((m.n_layer, T, 128), jnp.float32)
+        vsb = jnp.ones_like(ksb)
+        for step in range(int(lengths[b]) + 1):
+            h1 = (ip["wte"][toks[b:b + 1, step]]
+                  + ip["wpe"][step][None]).astype(jnp.float32)
+            hb, kcb, vcb, ksb, vsb = mega_decode_step_kv8(
+                h1, mw, kcb, vcb, ksb, vsb, jnp.int32(step), **kw)
+        want_h[b] = np.asarray(hb[0])
+        # seed the batched caches with this slot's prefix (rows < length;
+        # the reference run also appended AT length, which the CB call
+        # must reproduce via its returned codes)
+        kc = kc.at[:, b].set(kcb[:, 0])
+        vc = vc.at[:, b].set(vcb[:, 0])
+        # batched scale layout: lane b holds slot b's scales
+        ks = ks.at[:, :, b].set(ksb[:, :, 0])
+        vs = vs.at[:, :, b].set(vsb[:, :, 0])
+    # blank the appended row so the CB call does the append itself
+    iB = jnp.arange(B)
+    kc_pre = kc.at[:, iB, jnp.asarray(lengths)].set(0)
+    vc_pre = vc.at[:, iB, jnp.asarray(lengths)].set(0)
+    ks_pre = ks.at[:, jnp.asarray(lengths), iB].set(1.0)
+    vs_pre = vs.at[:, jnp.asarray(lengths), iB].set(1.0)
+
+    h = jnp.stack([
+        (ip["wte"][toks[b, int(lengths[b])]]
+         + ip["wpe"][int(lengths[b])]).astype(jnp.float32)
+        for b in range(B)])
+    TR = 8  # chunk-local recent buffer (one step)
+    rec = (jnp.zeros((m.n_layer, B, TR, d), jnp.int8),
+           jnp.zeros((m.n_layer, B, TR, d), jnp.int8),
+           jnp.ones((m.n_layer, TR, 128), jnp.float32),
+           jnp.ones((m.n_layer, TR, 128), jnp.float32))
+    got_h, krec, vrec, ksrec, vsrec = mega_decode_step_cb(
+        h, mw, kc_pre, vc_pre, ks_pre, vs_pre, *rec,
+        jnp.asarray(lengths), jnp.int32(0), **kw)
+    np.testing.assert_allclose(np.asarray(got_h), want_h, rtol=1e-5,
+                               atol=1e-5)
+    kc2, vc2, ks2, vs2 = cb_merge_recent(
+        kc_pre, vc_pre, ks_pre, vs_pre, krec, vrec, ksrec, vsrec,
+        jnp.asarray(lengths), 1)
+    np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc))
+    np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc))
+    np.testing.assert_allclose(np.asarray(ks2[:, :, :B]),
+                               np.asarray(ks[:, :, :B]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vs2[:, :, :B]),
+                               np.asarray(vs[:, :, :B]), rtol=1e-6)
+
+
 def test_engine_kv8_requires_mega():
     from llm_qat_tpu.models.inference import InferenceEngine
 

@@ -105,6 +105,78 @@ class TestContinuousBatching:
                                           fin_b[rb].generated)
 
 
+class TestMegaContinuousBatching:
+    """kv_layout='mega' CB engine: whole-model Pallas decode step with
+    per-slot positions (VERDICT r3 #6)."""
+
+    @pytest.fixture(scope="class")
+    def mega_setup(self):
+        from llm_qat_tpu.models import GPT2Config, QuantConfig, SPModelConfig
+        from llm_qat_tpu.train.calibration_manager import (
+            calibrate_input_quantizers, calibrate_weight_quantizers,
+        )
+
+        cfg = SPModelConfig(
+            model=GPT2Config(vocab_size=256, n_positions=128, n_embd=128,
+                             n_layer=2, n_head=2),
+            quant=QuantConfig(bit_widths=(8, 32),
+                              quantizer_per_bit={8: "minmax"},
+                              per_channel=False,
+                              lora_rank_per_bit={8: 4, 32: 0},
+                              lora_alpha_per_bit={8: 8, 32: 0}),
+            compute_dtype="float32",
+        )
+        params = init_sp_params(jax.random.PRNGKey(0), cfg)
+        params = calibrate_weight_quantizers(params, cfg)
+        rng = np.random.default_rng(1)
+        params = calibrate_input_quantizers(
+            params, cfg,
+            [jnp.asarray(rng.integers(0, 256, (2, 16))) for _ in range(2)])
+        return cfg, params
+
+    def test_mega_cb_matches_single_stream_mega_engine(self, mega_setup):
+        """One request through the mega CB engine must token-match the
+        single-stream kv8 megakernel InferenceEngine (same quantized
+        cache math; the per-slot mask reduces to the scalar-pos mask)."""
+        from llm_qat_tpu.models.inference import InferenceEngine
+
+        cfg, params = mega_setup
+        rng = np.random.default_rng(2)
+        prompt = rng.integers(1, 200, (6,))
+        kw = dict(bits=8, dtype=jnp.float32, weight_format="int8_xla",
+                  kv_layout="mega", kv_bits=8, attn_interpret=True)
+        single = InferenceEngine(params, cfg, max_batch=1, max_len=64, **kw)
+        want = np.asarray(single.generate(prompt[None], max_new_tokens=5,
+                                          do_sample=False))[0, 6:]
+
+        eng = ContinuousBatchingEngine(params, cfg, n_slots=2, max_len=64,
+                                       **kw)
+        rid = eng.submit(prompt, max_new_tokens=5)
+        fin = eng.run_until_done()
+        np.testing.assert_array_equal(np.asarray(fin[rid].generated), want)
+
+    def test_mega_cb_mixed_requests_and_recycling(self, mega_setup):
+        """Mixed prompt lengths + more requests than slots: every request
+        finishes with its own token count, deterministically."""
+        cfg, params = mega_setup
+        rng = np.random.default_rng(3)
+        kw = dict(bits=8, dtype=jnp.float32, weight_format="int8_xla",
+                  kv_layout="mega", kv_bits=8, attn_interpret=True)
+        prompts = [rng.integers(1, 200, (n,)) for n in (3, 9, 5)]
+
+        def run():
+            eng = ContinuousBatchingEngine(params, cfg, n_slots=2,
+                                           max_len=64, **kw)
+            ids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+            fin = eng.run_until_done()
+            return [fin[i].generated for i in ids]
+
+        a = run()
+        b = run()
+        assert all(len(g) == 4 for g in a)
+        assert a == b  # deterministic across engine instances
+
+
 class TestSampling:
     def test_mixed_sampling_reproducible_and_chunk_invariant(self, setup):
         """Slots with different sampling settings (greedy / temp / top-k /
