@@ -81,6 +81,10 @@ def main(argv=None):
             ),
             compute_dtype="bfloat16" if jax.default_backend() == "tpu"
             else "float32",
+            # unrolled layer scan: static per-layer slices fuse where the
+            # rolled scan's dynamic-slice/DUS plumbing cannot (~25 ms/step
+            # on v5e, scripts/train_bench.py r4) at ~2x compile time.
+            scan_unroll=GPT2Config().n_layer,
         )
     tcfg = TrainConfig(
         batch_size=args.batch_size, max_seq_length=args.max_seq_length,

@@ -154,12 +154,28 @@ class SPModelConfig:
     model: GPT2Config = field(default_factory=GPT2Config)
     quant: QuantConfig = field(default_factory=QuantConfig)
     compute_dtype: str = "float32"  # "bfloat16" on TPU for matmul inputs
-    # "auto": flash attention (Pallas, trainable VJP) on TPU whenever the
-    # shape allows (no mask, T % 128 == 0, head_dim 64/128), dense
-    # elsewhere; "dense"/"flash" force. Measured on v5e (scripts notes in
-    # docs/RESULTS_R3.md): flash beats the dense T×T softmax at every
-    # training/prefill length incl. T=256 with the retuned block sizes.
+    # "auto": on TPU, the Pallas flash kernel when the shape allows (no
+    # mask, T % 128 == 0, head_dim 64/128) AND T >= ops.attention.FLASH_MIN_T
+    # — honest in-jit timing (scripts/attn_bench.py, r4) shows the dense
+    # T×T path is faster below T=1024 (per-program kernel overhead dominates
+    # flash's bandwidth savings at GPT-2 sizes); dense elsewhere.
+    # "dense"/"flash" force.
     attention_impl: str = "auto"
+    # Quantized-linear implementation for `sp_linear`:
+    #   "cond"  — fake_quant with lax.cond/lax.switch dispatch (the original
+    #             formulation; one branch executes, but conditionals fence
+    #             XLA fusion),
+    #   "flat"  — conditional-free select-based fake_quant
+    #             (`quant.functional.fake_quant_flat`), identical semantics,
+    #   "fused" — Pallas fused dequant+matmul+LoRA kernel with custom-vjp STE
+    #             (`ops.fused_linear`), TPU only,
+    #   "auto"  — fused on TPU, flat elsewhere.
+    linear_impl: str = "auto"
+    # Unroll factor for the scan-over-layers (1 = rolled). Unrolling turns
+    # per-layer dynamic-slice/DUS parameter access into static slices XLA
+    # can fuse; the r4 trace showed the rolled scan spends more time on
+    # slice/DUS/copy plumbing than on matmuls.
+    scan_unroll: int = 1
 
     def replace(self, **kw) -> "SPModelConfig":
         return dataclasses.replace(self, **kw)
@@ -204,6 +220,17 @@ class TrainConfig:
     distill_alpha_feature: float = 1e-7
     distill_temperature: float = 3.0
     distill_accumulative: bool = False  # random-layer (False) vs all-layers feature loss
+    # dtype of the cached teacher softmax probs shared by all student
+    # micro-steps ("bfloat16" halves the per-student (B,T,V) read traffic;
+    # probabilities in [0,1] carry ~0.4% relative error — the teacher pass
+    # itself ran under fp16 autocast in the reference, train_sp.py:319).
+    distill_cache_dtype: str = "bfloat16"
+    # Unroll the student micro-step loop (a python loop instead of
+    # lax.scan). Measured on v5e (scripts/train_bench.py, r4): the unrolled
+    # form is ~20 ms/step SLOWER than the scan (XLA schedules the 3x larger
+    # subgraph worse than it pays for the removed carry copies) — keep the
+    # scan by default.
+    unroll_students: bool = False
     calibration_batches: int = 10  # reference CalibrationManager (`train_sp.py:90-123`)
 
 

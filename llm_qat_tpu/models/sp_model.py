@@ -40,8 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import causal_attention
-from ..quant.calibration import reduction_axes
-from ..quant.functional import fake_quant
+from ..ops.matmul import matmul_bf16
+from ..quant.calibration import dynamic_scale_flat, reduction_axes
+from ..quant.functional import KIND_LOG, fake_quant, fake_quant_flat
 from .config import GPT2Config, QuantConfig, SPModelConfig
 
 
@@ -214,31 +215,59 @@ def sp_linear(x, p, prec, tables: PrecTables, cfg: SPModelConfig,
 
     stats = _input_stats(x, q.per_channel, q.eps) if collect_stats else None
 
+    impl = getattr(cfg, "linear_impl", "auto")
+    if impl == "auto":
+        # "flat" measured fastest on v5e for the full train step
+        # (scripts/train_bench.py r4: cond 176.6 / flat 142.5 / fused 188.1
+        # ms at B=8 T=256 accum=4, rolled layer scan) — the Pallas fused
+        # path re-streams fp32 weight tiles per M-block and loses to XLA's
+        # dot emitters at GPT-2 sizes; it remains available as
+        # linear_impl="fused" (numerics-tested) for larger models where
+        # weight re-streaming amortizes.
+        impl = "flat"
+    if impl == "fused" and not (input_passthrough or calibration_mode):
+        from ..ops.fused_linear import fused_linear_supported, sp_linear_fused
+
+        if fused_linear_supported(x, p, q):
+            out = sp_linear_fused(
+                x, p, prec, bits, kind, tables.scaling[prec], cfg
+            )
+            return out, stats
+        impl = "flat"
+    flatish = impl in ("flat", "fused")
+    fq = fake_quant_flat if flatish else fake_quant
+    dyn = dynamic_scale_flat if flatish else dynamic_scale
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if flatish:
+        # AMP-faithful matmuls: bf16 operands in both directions (the
+        # reference's autocast backward runs in fp16); plain-dot autodiff
+        # would run the transpose dots at fp32 MXU rate.
+        mm = lambda a, b: matmul_bf16(a, b, cdt)
+    else:
+        mm = lambda a, b: jnp.dot(a.astype(cdt), b.astype(cdt),
+                                  preferred_element_type=jnp.float32)
+
     if input_passthrough:
         xq = x
     else:
-        xq = fake_quant(x, p["iq_scale"][prec], p["iq_zp"][prec], bits, kind,
-                        q.symmetric, q.eps)
-    wq = fake_quant(p["w"], p["wq_scale"][prec][None, :], p["wq_zp"][prec][None, :],
-                    bits, kind, q.symmetric, q.eps)
+        xq = fq(x, p["iq_scale"][prec], p["iq_zp"][prec], bits, kind,
+                q.symmetric, q.eps)
+    wq = fq(p["w"], p["wq_scale"][prec][None, :], p["wq_zp"][prec][None, :],
+            bits, kind, q.symmetric, q.eps)
 
-    cdt = jnp.dtype(cfg.compute_dtype)
-    base = jnp.dot(xq.astype(cdt), wq.astype(cdt),
-                   preferred_element_type=jnp.float32) + p["b"]
+    base = mm(xq, wq) + p["b"]
 
     if not calibration_mode and q.max_rank > 0:
         A = p["lora_A"][prec]
         B = p["lora_B"][prec]
         # reference LoRA quantizers: channel_dim=1 (lora.py:39-40)
         ch = 1 if q.per_channel else None
-        a_s, a_z = dynamic_scale(A, bits, kind, ch, q.symmetric, q.eps)
-        b_s, b_z = dynamic_scale(B, bits, kind, ch, q.symmetric, q.eps)
-        Aq = fake_quant(A, a_s, a_z, bits, kind, q.symmetric, q.eps)
-        Bq = fake_quant(B, b_s, b_z, bits, kind, q.symmetric, q.eps)
+        a_s, a_z = dyn(A, bits, kind, ch, q.symmetric, q.eps)
+        b_s, b_z = dyn(B, bits, kind, ch, q.symmetric, q.eps)
+        Aq = fq(A, a_s, a_z, bits, kind, q.symmetric, q.eps)
+        Bq = fq(B, b_s, b_z, bits, kind, q.symmetric, q.eps)
         # reference feeds the *raw* input to LoRA (lora.py:149)
-        lora = jnp.dot(jnp.dot(x.astype(cdt), Aq.astype(cdt),
-                               preferred_element_type=jnp.float32).astype(cdt),
-                       Bq.astype(cdt), preferred_element_type=jnp.float32)
+        lora = mm(mm(x, Aq), Bq)
         base = base + tables.scaling[prec] * lora
 
     return base, stats
@@ -272,20 +301,31 @@ def sp_block(x, bp, prec, tables, cfg: SPModelConfig, *, mask=None,
     def heads(t):
         return t.reshape(B, T, m.n_head, m.head_dim).transpose(0, 2, 1, 3)
 
+    # AMP-faithful attention on the flat/fused linear paths: q/k/v in
+    # compute_dtype (the reference's autocast attention runs in fp16,
+    # `train_sp.py:319`); the flash kernel keeps softmax stats in f32 and
+    # the result is cast back to the residual dtype below.
+    lin_impl = getattr(cfg, "linear_impl", "auto")
+    amp = lin_impl != "cond" and jnp.dtype(cfg.compute_dtype) != jnp.float32
+    cast = (lambda t: t.astype(cfg.compute_dtype)) if amp else (lambda t: t)
+
     if attention_fn is None:
+        from ..ops.attention import FLASH_MIN_T
+
         impl = getattr(cfg, "attention_impl", "auto")
+        # auto: flash only from FLASH_MIN_T up — below it the dense T×T
+        # path measures faster on v5e (ops/attention.py crossover table);
+        # "flash" forces the kernel at any supported length.
         use_flash = impl == "flash" or (
-            impl == "auto" and jax.default_backend() == "tpu")
-        # trainable=True: the custom-vjp Pallas flash path — measured
-        # faster than the dense T×T softmax at every training length on
-        # v5e (ops/attention.py::flash_blocks); CPU tests keep the dense
-        # reference numerics under "auto".
-        attn = causal_attention(heads(q), heads(k), heads(v), mask=mask,
+            impl == "auto" and jax.default_backend() == "tpu"
+            and T >= FLASH_MIN_T)
+        attn = causal_attention(cast(heads(q)), cast(heads(k)),
+                                cast(heads(v)), mask=mask,
                                 use_flash=use_flash, trainable=True,
                                 interpret=jax.default_backend() != "tpu")
     else:
         attn = attention_fn(heads(q), heads(k), heads(v))
-    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, C)
+    attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, C)
     attn_out, s2 = sp_linear(attn, bp["attn_proj"], prec, tables, cfg,
                              calibration_mode, collect_stats, input_passthrough)
     x = x + attn_out
@@ -377,12 +417,17 @@ def sp_forward(
             ys["stats"] = s
         return out, ys
 
-    h, ys = jax.lax.scan(body, h, params["blocks"])
+    unroll = max(1, min(int(getattr(cfg, "scan_unroll", 1)),
+                        cfg.model.n_layer))
+    h, ys = jax.lax.scan(body, h, params["blocks"], unroll=unroll)
 
     h = switchable_layernorm(h, params["ln_f"], prec, cfg.model.layer_norm_epsilon)
 
-    logits = jnp.dot(h, params["wte"].T.astype(h.dtype),
-                     preferred_element_type=jnp.float32)
+    # lm_head in compute_dtype (bf16 on TPU), both directions: mirrors the
+    # quantized linears' MXU convention and the reference's AMP autocast,
+    # which runs this matmul in fp16 (`train_sp.py:319`). f32 inputs here
+    # would be the single most expensive matmul in the model at 1/4 MXU rate.
+    logits = matmul_bf16(h, params["wte"].T, jnp.dtype(cfg.compute_dtype))
 
     # live (gradient-carrying) trunk output for task heads (QA); the entries
     # in `hidden_states` are detached to mirror the reference's collection.

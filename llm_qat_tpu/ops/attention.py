@@ -53,7 +53,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, block_k,
     l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    # MXU dots run in the operand dtype (bf16 under AMP — the reference's
+    # autocast attention is fp16, `train_sp.py:319`); softmax statistics and
+    # the accumulator stay f32. sm_scale is applied to the f32 scores, not
+    # the operands, so bf16 inputs lose nothing to the pre-scaling.
+    q = q_ref[:]
     q_offset = q_blk * block_q
 
     num_k_blocks = pl.cdiv(seq_len, block_k)
@@ -62,10 +66,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, block_k,
 
     def body(kb, _):
         k_off = kb * block_k
-        k_tile = k_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
-        v_tile = v_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
+        k_tile = k_ref[pl.ds(k_off, block_k), :]
+        v_tile = v_ref[pl.ds(k_off, block_k), :]
 
-        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32) * sm_scale
 
         q_ids = q_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_ids = k_off + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -77,7 +81,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, block_k,
         alpha = jnp.exp(m_prev - m_cur)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-            p, v_tile, preferred_element_type=jnp.float32
+            p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
         )
         m_scr[:] = m_cur
         return 0
@@ -162,13 +166,27 @@ def flash_supported(T: int, D: int, mask) -> bool:
     return mask is None and T % 128 == 0 and D in (64, 128)
 
 
+# Crossover measured on v5e with in-jit loops (scripts/attn_bench.py, r4 —
+# earlier per-call timings carried a ~25 ms tunnel-fetch artifact and wrongly
+# crowned flash at every length): per (B=8,H=12,D=64) attention call,
+#   T=256:  dense 0.01/0.04 ms (fwd / fwd+bwd) vs flash 0.18/0.29
+#   T=512:  dense 0.08/0.22 vs flash 0.48/0.68
+#   T=1024: dense 1.24/3.07 vs flash 1.01/1.74
+# Dense's T×T materialization only starts to lose at T≥1024; below that the
+# flash kernel's per-program overhead dominates its bandwidth savings.
+FLASH_MIN_T = 1024
+
+
 def causal_attention(q, k, v, *, mask=None, use_flash=False, interpret=False,
                      trainable=False):
     """Dispatch: Pallas flash kernel (opt-in) or dense jnp reference.
 
-    The flash path requires no padding mask and T % block == 0.
-    `trainable=True` routes through `flash_attention_trainable` (custom-vjp
-    Pallas backward) so the same dispatch serves the training forward."""
+    The flash path requires no padding mask and T % block == 0; `use_flash`
+    forces flash whenever the shape supports it (callers implementing an
+    "auto" policy should gate on FLASH_MIN_T themselves — see
+    `models.sp_model.sp_block`). `trainable=True` routes through
+    `flash_attention_trainable` (custom-vjp Pallas backward) so the same
+    dispatch serves the training forward."""
     T, D = q.shape[2], q.shape[3]
     if use_flash and flash_supported(T, D, mask):
         bq, bk = flash_blocks(T)
@@ -194,7 +212,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    # Same AMP convention as _flash_kernel: operand-dtype MXU dots, f32
+    # softmax statistics, post-dot sm_scale.
+    q = q_ref[:]
     q_offset = q_blk * block_q
     num_k_blocks = pl.cdiv(seq_len, block_k)
     max_kb = jnp.minimum(num_k_blocks,
@@ -202,9 +222,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
 
     def body(kb, _):
         k_off = kb * block_k
-        k_tile = k_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
-        v_tile = v_ref[pl.ds(k_off, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32)
+        k_tile = k_ref[pl.ds(k_off, block_k), :]
+        v_tile = v_ref[pl.ds(k_off, block_k), :]
+        s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32) * sm_scale
         q_ids = q_offset + jax.lax.broadcasted_iota(jnp.int32,
                                                     (block_q, block_k), 0)
         k_ids = k_off + jax.lax.broadcasted_iota(jnp.int32,
@@ -216,7 +236,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
         alpha = jnp.exp(m_prev - m_cur)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-            p, v_tile, preferred_element_type=jnp.float32)
+            p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32)
         m_scr[:] = m_cur
         return 0
 
@@ -235,24 +255,30 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     dQ = dS·K·scale; dK = dSᵀ·Q·scale.
     """
     T = seq_len
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    # operand-dtype (AMP) MXU dots; s/p/ds stay f32. ds is cast to the
+    # operand dtype for the dq/dk dots — the fp16-autocast backward the
+    # reference's GradScaler serves (`train_sp.py:319,452`).
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    cdt = q.dtype
     o = o_ref[:].astype(jnp.float32)
     lse = lse_ref[:]
-    do = do_ref[:].astype(jnp.float32)
+    do = do_ref[:]
+    do_f = do.astype(jnp.float32)
 
-    D = jnp.sum(do * o, axis=1, keepdims=True)  # (T, 1)
+    D = jnp.sum(do_f * o, axis=1, keepdims=True)  # (T, 1)
 
-    s = jnp.dot(q * sm_scale, k.T, preferred_element_type=jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
     q_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     mask = q_ids >= k_ids
     p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
-    dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - D)
+    dv = jnp.dot(p.astype(cdt).T, do.astype(cdt),
+                 preferred_element_type=jnp.float32)
+    dp = jnp.dot(do.astype(cdt), v.T, preferred_element_type=jnp.float32)
+    ds = (p * (dp - D)).astype(cdt)
     dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
     dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * sm_scale
 

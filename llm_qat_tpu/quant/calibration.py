@@ -126,3 +126,37 @@ def calibrate_tensor(x, num_bits, kind: int, channel_dim: Optional[int] = None,
     """
     stats = update_stats(init_stats(), x, channel_dim, kind, eps)
     return finalize(stats, num_bits, kind, symmetric, eps)
+
+
+def dynamic_scale_flat(x, bits, kind, channel_dim: Optional[int],
+                       symmetric: bool = True, eps: float = 1e-5):
+    """Inline (per-forward) quantizer calibration without `lax.switch`.
+
+    Both stat domains are computed from one pass over `x` and selected
+    elementwise by the traced `kind` — the conditional-free counterpart of
+    `models.sp_model.dynamic_scale`, with identical semantics (symmetric
+    minmax abs-max scale; log range/min, reference `train_sp.py:125-163`).
+    Used by the flat/fused linear paths so LoRA re-calibration stays one
+    fusable elementwise+reduce chain.
+    """
+    axes = reduction_axes(jnp.ndim(x), channel_dim)
+    xf = jnp.asarray(x, jnp.float32)
+    bits = jnp.asarray(bits, jnp.float32)
+    mn = jnp.min(xf, axis=axes, keepdims=True)
+    mx = jnp.max(xf, axis=axes, keepdims=True)
+    if symmetric:
+        abs_max = jnp.maximum(jnp.maximum(jnp.abs(mn), jnp.abs(mx)), eps)
+        mm_scale = abs_max / (jnp.exp2(bits - 1.0) - 1.0)
+        mm_zp = jnp.zeros_like(mm_scale)
+    else:
+        rng_val = jnp.maximum(mx - mn, eps)
+        mm_scale = rng_val / (jnp.exp2(bits) - 1.0)
+        mm_zp = jnp.round(-mn / mm_scale)
+    la = jnp.log2(jnp.maximum(jnp.abs(xf), eps))
+    lmn = jnp.min(la, axis=axes, keepdims=True)
+    lmx = jnp.max(la, axis=axes, keepdims=True)
+    is_log = jnp.asarray(kind, jnp.int32) == KIND_LOG
+    return (
+        jnp.where(is_log, lmx - lmn, mm_scale),
+        jnp.where(is_log, lmn, mm_zp),
+    )

@@ -204,6 +204,83 @@ def fake_quant(x, scale, zero_point, num_bits, kind, symmetric=True, eps=1e-5):
 
 
 # ---------------------------------------------------------------------------
+# Flat (conditional-free) dispatch — the hot-path variant
+# ---------------------------------------------------------------------------
+
+
+def _flat_fwd_math(x, scale, zero_point, num_bits, kind, symmetric, eps):
+    """Both quantizer domains computed, selected by `kind`/`num_bits` with
+    elementwise `where` — no `lax.cond`/`lax.switch`.
+
+    Semantically identical to `fake_quant` (the log kind reads log_min from
+    the zero_point slot and log_range from the scale slot, reference
+    `quantization.py:115-116`), but emits one straight-line fused elementwise
+    HLO instead of nested conditionals. Conditionals cannot fuse with their
+    surroundings, so on the training hot path (8 fake-quants per block, 12
+    blocks, 4 micro-steps, fwd+bwd) the `fake_quant` version costs hundreds
+    of unfused kernel launches per step; this version is the remedy measured
+    in `scripts/train_profile.py`.
+    """
+    mm = _minmax_fwd_math(x, scale, zero_point, num_bits, symmetric)
+    lg = _log_fwd_math(x, zero_point, scale, num_bits, symmetric, eps)
+    q = jnp.where(jnp.asarray(kind, jnp.int32) == KIND_LOG, lg, mm)
+    return jnp.where(jnp.asarray(num_bits, x.dtype) >= 32.0, x, q)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fake_quant_flat_core(x, scale, zero_point, num_bits, kind_f, symmetric,
+                          eps):
+    return _flat_fwd_math(x, scale, zero_point, num_bits, kind_f, symmetric,
+                          eps)
+
+
+def _flat_vjp_fwd(x, scale, zero_point, num_bits, kind_f, symmetric, eps):
+    out = _flat_fwd_math(x, scale, zero_point, num_bits, kind_f, symmetric,
+                         eps)
+    return out, (scale, zero_point, num_bits, kind_f)
+
+
+def _flat_vjp_bwd(symmetric, eps, res, g):
+    scale, zero_point, num_bits, kind_f = res
+    clamp = jnp.logical_and(
+        jnp.asarray(kind_f, jnp.int32) == KIND_LOG,
+        jnp.asarray(num_bits, jnp.float32) < 32.0,
+    )
+    gx = jnp.where(clamp, jnp.clip(g, -10.0, 10.0), g)
+    return (
+        gx,
+        jnp.zeros_like(scale),
+        jnp.zeros_like(zero_point),
+        jnp.zeros_like(num_bits),
+        jnp.zeros_like(kind_f),
+    )
+
+
+_fake_quant_flat_core.defvjp(_flat_vjp_fwd, _flat_vjp_bwd)
+
+
+def fake_quant_flat(x, scale, zero_point, num_bits, kind, symmetric=True,
+                    eps=1e-5):
+    """`fake_quant` with conditional-free forward and a single fused STE.
+
+    Backward: identity for minmax/passthrough, ±10 clamp for the log kind
+    below 32 bits (`quantization_methods.py:24-28,81-90`) — selected by the
+    same traced `kind`/`num_bits` operands. All quantizer operands are cast
+    to float32 at this boundary so STE cotangents are plain zeros.
+    """
+    x = jnp.asarray(x)
+    return _fake_quant_flat_core(
+        x,
+        jnp.asarray(scale, x.dtype),
+        jnp.asarray(zero_point, x.dtype),
+        jnp.asarray(num_bits, jnp.float32),
+        jnp.asarray(kind, jnp.float32),
+        symmetric,
+        eps,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gradient quantization (reference part2 `quantization.py:14-26`)
 # ---------------------------------------------------------------------------
 

@@ -32,23 +32,65 @@ import jax.numpy as jnp
 
 
 class TeacherOutputs(NamedTuple):
-    """On-device 'teacher cache' for one batch (always a hit by construction)."""
+    """On-device 'teacher cache' for one batch (always a hit by construction).
+
+    `probs` and `neg_entropy` are precomputed ONCE per train step (see
+    `prepare_teacher`): every student micro-step shares the same teacher
+    batch, so recomputing the teacher's log-softmax inside the student scan
+    (as a naive port of `distillation_manager.py:64-81` would) costs ~3
+    extra passes over the (B, T, 50257) stack per student. The KL decomposes
+    as `KL = Σ p_t·logp_t − Σ p_t·logp_s`; the first term is constant in
+    the student (entropy, precomputed in f32), so only the cross term is
+    computed per student. `probs` is stored in `cache_dtype` (bf16 default:
+    probabilities lie in [0,1] where bf16 is ~0.4% accurate, and the read
+    traffic per student halves; the reference's teacher forward itself ran
+    under fp16 autocast, `train_sp.py:319`).
+    """
 
     logits: jax.Array  # (B, T, V)
     hidden_states: jax.Array  # (L+1, B, T, d)
+    probs: Optional[jax.Array] = None  # (B, T-1, V) softmax(t/T), cache_dtype
+    neg_entropy: Optional[jax.Array] = None  # scalar: mean_rows Σ p_t·logp_t
 
 
-def kl_distillation_loss(student_logits, teacher_logits, temperature: float):
-    """Temperature-scaled KL on shifted logits (`distillation_manager.py:64-81`)."""
+def prepare_teacher(logits, hidden_states, temperature: float,
+                    cache_dtype=jnp.bfloat16) -> TeacherOutputs:
+    """Precompute the student-independent pieces of the KL term."""
+    t = jax.lax.stop_gradient(logits)[:, :-1].astype(jnp.float32)
+    t_logp = jax.nn.log_softmax(t / temperature, axis=-1)
+    p_t = jnp.exp(t_logp)
+    neg_ent = jnp.mean(jnp.sum(p_t * t_logp, axis=-1))
+    return TeacherOutputs(
+        logits=logits,
+        hidden_states=hidden_states,
+        probs=p_t.astype(cache_dtype),
+        neg_entropy=neg_ent,
+    )
+
+
+def kl_distillation_loss(student_logits, teacher, temperature: float):
+    """Temperature-scaled KL on shifted logits (`distillation_manager.py:64-81`).
+
+    `teacher` is a TeacherOutputs (precomputed-probs path) or a raw logits
+    array (standalone use — computes everything inline).
+    """
     T = temperature
-    t = jax.lax.stop_gradient(teacher_logits)[:, :-1].astype(jnp.float32)
+    if isinstance(teacher, TeacherOutputs) and teacher.probs is not None:
+        p_t = teacher.probs
+        neg_ent = teacher.neg_entropy
+    else:
+        t_raw = teacher.logits if isinstance(teacher, TeacherOutputs) else teacher
+        t = jax.lax.stop_gradient(t_raw)[:, :-1].astype(jnp.float32)
+        t_logp = jax.nn.log_softmax(t / T, axis=-1)
+        p_t = jnp.exp(t_logp)
+        neg_ent = jnp.mean(jnp.sum(p_t * t_logp, axis=-1))
     s = student_logits[:, :-1].astype(jnp.float32)
-    t_logp = jax.nn.log_softmax(t / T, axis=-1)
     s_logp = jax.nn.log_softmax(s / T, axis=-1)
     # kl_div(input=student_logp, target=teacher_logp, log_target=True):
     # sum target.exp() * (target - input), batchmean over B*(T-1) rows
-    kl = jnp.sum(jnp.exp(t_logp) * (t_logp - s_logp), axis=-1)
-    return jnp.mean(kl) * (T * T)
+    # = [Σ p_t·logp_t]_const − mean_rows Σ p_t·logp_s
+    cross = jnp.mean(jnp.sum(p_t * s_logp, axis=-1))
+    return (neg_ent - cross) * (T * T)
 
 
 def feature_distillation_loss(student_hidden, teacher_hidden, layer_idx,
@@ -79,7 +121,7 @@ def distillation_loss(student_logits, student_hidden, teacher: TeacherOutputs,
     total = jnp.zeros(())
     if alpha_kl:
         total = total + alpha_kl * kl_distillation_loss(
-            student_logits, teacher.logits, temperature)
+            student_logits, teacher, temperature)
     if alpha_feature:
         total = total + alpha_feature * feature_distillation_loss(
             student_hidden, teacher.hidden_states, layer_idx, accumulative)

@@ -41,7 +41,7 @@ import optax
 
 from ..models.config import SPModelConfig, TrainConfig
 from ..models.sp_model import PrecTables, lm_cross_entropy, prec_tables, sp_forward
-from .distillation import TeacherOutputs, distillation_loss
+from .distillation import TeacherOutputs, distillation_loss, prepare_teacher
 
 
 def trainable_mask(params) -> Any:
@@ -148,7 +148,20 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
             step=jnp.zeros((), jnp.int32),
         )
 
+    def _freeze(params):
+        # The reference sets requires_grad=False on embeddings and keeps
+        # quantizer scale banks as buffers (`main_sp.py:55-141`), so no
+        # gradient work is ever done for them. stop_gradient on the frozen
+        # leaves reproduces that: their cotangent chains (notably the
+        # (50257, 768) wte scatter-add and tied-lm-head grad) are DCE'd by
+        # XLA instead of being computed and then masked to zero.
+        mask = trainable_mask(params)
+        return jax.tree.map(
+            lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask
+        )
+
     def _forward(params, ids, prec, rng, labels):
+        params = _freeze(params)
         if forward_fn is not None:
             return forward_fn(
                 params, ids, prec, cfg, tables=tables, labels=labels,
@@ -187,6 +200,14 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
         (t_loss, teacher), grads = jax.value_and_grad(
             teacher_loss_fn, has_aux=True
         )(state.params, ids, rng_t)
+        # Precompute teacher probs + entropy once, outside the student
+        # scan — the KL's teacher side is identical for every student.
+        if tcfg.distill_alpha_kl:
+            teacher = prepare_teacher(
+                teacher.logits, teacher.hidden_states,
+                tcfg.distill_temperature,
+                cache_dtype=jnp.dtype(tcfg.distill_cache_dtype),
+            )
 
         # --- micro-steps 1..accum-1: random student precisions
         precs = jax.random.choice(
@@ -197,18 +218,30 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
         )
         drop_rngs = jax.random.split(rng_drop, n_students)
 
-        def body(carry, xs):
-            g_acc, loss_acc = carry
-            prec, layer_idx, drng = xs
-            loss, g = jax.value_and_grad(student_loss_fn)(
-                state.params, ids, prec, drng, layer_idx, teacher
-            )
-            g_acc = jax.tree.map(jnp.add, g_acc, g)
-            return (g_acc, loss_acc + loss), loss
+        if getattr(tcfg, "unroll_students", True):
+            # Unrolled student micro-steps: no lax.scan carry copies of the
+            # full gradient tree between iterations.
+            student_loss_sum = jnp.zeros(())
+            for i in range(n_students):
+                loss, g = jax.value_and_grad(student_loss_fn)(
+                    state.params, ids, precs[i], drop_rngs[i], layers[i],
+                    teacher
+                )
+                grads = jax.tree.map(jnp.add, grads, g)
+                student_loss_sum = student_loss_sum + loss
+        else:
+            def body(carry, xs):
+                g_acc, loss_acc = carry
+                prec, layer_idx, drng = xs
+                loss, g = jax.value_and_grad(student_loss_fn)(
+                    state.params, ids, prec, drng, layer_idx, teacher
+                )
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + loss), loss
 
-        (grads, student_loss_sum), student_losses = jax.lax.scan(
-            body, (grads, jnp.zeros(())), (precs, layers, drop_rngs)
-        )
+            (grads, student_loss_sum), _ = jax.lax.scan(
+                body, (grads, jnp.zeros(())), (precs, layers, drop_rngs)
+            )
 
         masked_opt = _masked_opt(state.params)
         updates, opt_state = masked_opt.update(

@@ -60,7 +60,9 @@ def time_step(label, cfg, params, batch, **mk_kwargs):
                       gradient_accumulation_steps=4, num_iterations=100,
                       eval_interval=10_000, **mk_kwargs.pop("tcfg_kw", {}))
     init_state, train_step = make_sp_train_step(cfg, tcfg, **mk_kwargs)
-    state = init_state(params)
+    # donate_argnums below consumes the state's buffers; hand the step its own
+    # copy so later ablations can reuse the same calibrated params.
+    state = init_state(jax.tree.map(jnp.array, params))
     step = jax.jit(train_step, donate_argnums=(0,))
     state, m = step(state, batch, jax.random.PRNGKey(1))  # compile
     jax.block_until_ready(m["loss"])

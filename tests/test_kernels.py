@@ -522,8 +522,11 @@ class TestFlashPrefill:
                                             jnp.int32(0), static=static,
                                             initial_prefill=True,
                                             attn_interpret=True)
+        # 1e-3: the r4 flash kernel applies sm_scale to the f32 scores
+        # (post-dot) instead of pre-scaling q, shifting rounding vs the
+        # dense path by a few 1e-4 through the softmax exp.
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-4, atol=2e-4)
+                                   rtol=2e-3, atol=1e-3)
         for a, b in zip(cd, cf):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
