@@ -671,7 +671,7 @@ class InferenceEngine:
                  dtype=jnp.bfloat16, weight_format: str = "dense",
                  lm_head_int8: bool = False, kv_layout: str = "auto",
                  kv_bits: int = 16, attn_interpret: bool = False,
-                 mega_tbp: int = 64):
+                 mega_tbp: int = 64, mega_tiles_per_step: int = 4):
         from functools import partial
 
         self.cfg = cfg
@@ -695,6 +695,11 @@ class InferenceEngine:
         self.mega = None
         self.kv_bits = kv_bits
         self.mega_tbp = mega_tbp
+        # 4 weight tiles per megakernel grid step: 36 fatter steps instead
+        # of 144 — per-grid-step fixed cost was the largest non-SOL term
+        # (scripts/tpg_bench.py r4: W4KV4 264 -> 236 us/step; 6 regresses
+        # on VMEM pressure, int8 weights are stream-bound and indifferent).
+        self.mega_tpg = mega_tiles_per_step
         if kv_bits in (8, 4) and kv_layout != "mega":
             raise ValueError(f"kv_bits={kv_bits} requires kv_layout='mega' "
                              "(use init_layer_caches(kv_bits=8) for the "
@@ -858,6 +863,7 @@ class InferenceEngine:
                         head_dim=m.head_dim, has_lora=has_lora,
                         eps=m.layer_norm_epsilon, act_dtype=dtype,
                         aq_max=aq_max, tbp=self.mega_tbp,
+                        tiles_per_step=self.mega_tpg,
                         interpret=attn_interpret)
                     hf = _ln(h_out[:, None, :].astype(dtype),
                              iparams["ln_f"]["g"], iparams["ln_f"]["b"],
@@ -906,7 +912,9 @@ class InferenceEngine:
                         head_dim=m.head_dim, has_lora=has_lora,
                         eps=m.layer_norm_epsilon, act_dtype=dtype,
                         aq_max=aq_max, tbp=self.mega_tbp,
-                        kv_bits=self.kv_bits, interpret=attn_interpret)
+                        kv_bits=self.kv_bits,
+                        tiles_per_step=self.mega_tpg,
+                        interpret=attn_interpret)
                     hf = _ln(h_out[:, None, :].astype(dtype),
                              iparams["ln_f"]["g"], iparams["ln_f"]["b"],
                              m.layer_norm_epsilon)

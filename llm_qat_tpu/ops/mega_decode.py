@@ -270,7 +270,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
                  qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
                  kbuf, vbuf, rmwk, rmwv, sem, rsem,
                  *, eps, sm_scale, tbp, B, H, has_lora, act_dtype,
-                 wbits=8, aq_max=127.0):
+                 wbits=8, aq_max=127.0, tpg=1):
     """Grid (n_layer, 12); one (d, d) weight tile per step (see module doc).
 
     wbits=4: `wt` tiles are (d/2, d) nibble-packed (per-tile K-halves);
@@ -278,12 +278,12 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
     aq_max: activation code clamp (127 for A8, 7 for A4)."""
     del kc_in, vc_in  # aliased to kc/vc
     l = pl.program_id(0)
-    t = pl.program_id(1)
+    t_step = pl.program_id(1)
     d = h_ref.shape[1]
     cdt = kbuf.dtype
     pos = pos_ref[0]
 
-    @pl.when((l == 0) & (t == 0))
+    @pl.when((l == 0) & (t_step == 0))
     def _():
         o_ref[:] = h_ref[:]
 
@@ -303,228 +303,235 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
         r = (u + 0x7FFF + ((u >> 16) & 1)) & jnp.int32(-65536)
         return pltpu.bitcast(r, jnp.float32)
 
-    w_tile = wt_ref[0, 0]           # (d, d) int8 — or (d/2, d) packed int4
-    w_s = ws_ref[0, 0]              # (1, d) f32
-    b_t = bias_ref[0, 0]            # (1, d) f32
+    # `tpg` tiles per grid step (fewer, fatter steps): the 144-step
+    # schedule's per-grid-step fixed cost dominated the decode budget
+    # (docs/RESULTS_R4.md); the python loop replays the original
+    # per-tile body once per sub-tile with `t` the global tile index.
+    for _sub in range(tpg):
+        t = t_step * tpg + _sub
+        w_tile = wt_ref[0, _sub]           # (d, d) int8 — or (d/2, d) packed int4
+        w_s = ws_ref[0, _sub]              # (1, d) f32
+        b_t = bias_ref[0, _sub]            # (1, d) f32
 
-    def i8dot(qx):
-        if wbits == 4:
-            if I4_UNPACK == "i8":
-                # int8-native shifts: no (d/2, d) int32 materialization in
-                # the unpack (round-4 W4 critical-path fix)
-                lo = (w_tile << 4) >> 4   # sign-extended low nibble
-                hi = w_tile >> 4          # arithmetic shift, stays int8
-            else:
-                wi = w_tile.astype(jnp.int32)
-                lo = ((wi << 28) >> 28).astype(jnp.int8)
-                hi = (wi >> 4).astype(jnp.int8)
-            d2 = d // 2
-            acc = jax.lax.dot_general(
-                qx[:, :d2], lo, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return acc + jax.lax.dot_general(
-                qx[:, d2:], hi, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
+        def i8dot(qx):
+            if wbits == 4:
+                if I4_UNPACK == "i8":
+                    # int8-native shifts: no (d/2, d) int32 materialization in
+                    # the unpack (round-4 W4 critical-path fix)
+                    lo = (w_tile << 4) >> 4   # sign-extended low nibble
+                    hi = w_tile >> 4          # arithmetic shift, stays int8
+                else:
+                    wi = w_tile.astype(jnp.int32)
+                    lo = ((wi << 28) >> 28).astype(jnp.int8)
+                    hi = (wi >> 4).astype(jnp.int8)
+                d2 = d // 2
+                acc = jax.lax.dot_general(
+                    qx[:, :d2], lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return acc + jax.lax.dot_general(
+                    qx[:, d2:], hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
 
-    def lora_b(xa):
-        return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, 0],
-                       preferred_element_type=jnp.float32)
+        def lora_b(xa):
+            return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, _sub],
+                           preferred_element_type=jnp.float32)
 
-    # ---- t == 0..2: LN1 + qkv out-tile --------------------------------
-    @pl.when(t == 0)
-    def _():
-        hn = _rt(_ln_f32(o_ref[:], ln_ref[0, 0:1, :], ln_ref[0, 1:2, :],
-                         eps))
-        qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
-        if has_lora:
-            # xa for the qkv phase; parked in xam_s row 0 until t==2
-            xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, 0],
-                               preferred_element_type=jnp.float32)
-
-    @pl.when(t < 3)
-    def _():
-        out = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 0] * w_s)
-               + b_t)
-        if has_lora:
-            out = out + lora_b(xam_s[0])
-        qkv_s[t] = out
-
-    # ---- t == 3: attention (head-interleaved HBM caches) + attn-proj --
-    @pl.when(t == 3)
-    def _():
-        q = qkv_s[0] * sm_scale    # (B, d) f32, pre-scaled
-        # new K/V round-trip through the cache dtype so the merge sees the
-        # same values later steps will stream back (matches the unfused path)
-        kn = qkv_s[1].astype(cdt).astype(jnp.float32)  # (B, d)
-        vn = qkv_s[2].astype(cdt).astype(jnp.float32)
-        hm = hm_ref[:]             # (H, d) f32 one-hot head mask
-
-        # 1. kick off the append-RMW *read* (modify+write after streaming)
-        grp8 = pl.multiple_of(_idiv(pos, 8) * 8, 8)
-        sub = _irem(pos, 8)
-        rk = pltpu.make_async_copy(kc.at[l, :, pl.ds(grp8, 8)], rmwk,
-                                   rsem.at[0])
-        rv = pltpu.make_async_copy(vc.at[l, :, pl.ds(grp8, 8)], rmwv,
-                                   rsem.at[1])
-        rk.start()
-        rv.start()
-
-        # Qm (B, H, d): row h = q masked to head h's lane group — per-head
-        # scores come from ONE batched MXU dot against full-d cache rows
-        Qm = (q[:, None, :] * hm[None]).astype(cdt)
-
-        nblk = _idiv(pos + tbp - 1, tbp)
-
-        def get_dma(slot, j):
-            off = pl.multiple_of(j * tbp, tbp)
-            return (
-                pltpu.make_async_copy(kc.at[l, :, pl.ds(off, tbp)],
-                                      kbuf.at[slot], sem.at[0, slot]),
-                pltpu.make_async_copy(vc.at[l, :, pl.ds(off, tbp)],
-                                      vbuf.at[slot], sem.at[1, slot]),
-            )
-
-        @pl.when(nblk > 0)
+        # ---- t == 0..2: LN1 + qkv out-tile --------------------------------
+        @pl.when(t == 0)
         def _():
-            k0, v0 = get_dma(0, 0)
-            k0.start()
-            v0.start()
+            hn = _rt(_ln_f32(o_ref[:], ln_ref[0, 0:1, :], ln_ref[0, 1:2, :],
+                             eps))
+            qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
+            if has_lora:
+                # xa for the qkv phase; parked in xam_s row 0 until t==2
+                xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, _sub],
+                                   preferred_element_type=jnp.float32)
 
-        prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
-                else jax.lax.Precision.DEFAULT)
+        @pl.when(t < 3)
+        def _():
+            out = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 0] * w_s)
+                   + b_t)
+            if has_lora:
+                out = out + lora_b(xam_s[0])
+            qkv_s[t] = out
 
-        def body(j, carry):
-            m, lsum, acc = carry
-            slot = _irem(j, 2)
+        # ---- t == 3: attention (head-interleaved HBM caches) + attn-proj --
+        @pl.when(t == 3)
+        def _():
+            q = qkv_s[0] * sm_scale    # (B, d) f32, pre-scaled
+            # new K/V round-trip through the cache dtype so the merge sees the
+            # same values later steps will stream back (matches the unfused path)
+            kn = qkv_s[1].astype(cdt).astype(jnp.float32)  # (B, d)
+            vn = qkv_s[2].astype(cdt).astype(jnp.float32)
+            hm = hm_ref[:]             # (H, d) f32 one-hot head mask
 
-            @pl.when(j + 1 < nblk)
+            # 1. kick off the append-RMW *read* (modify+write after streaming)
+            grp8 = pl.multiple_of(_idiv(pos, 8) * 8, 8)
+            sub = _irem(pos, 8)
+            rk = pltpu.make_async_copy(kc.at[l, :, pl.ds(grp8, 8)], rmwk,
+                                       rsem.at[0])
+            rv = pltpu.make_async_copy(vc.at[l, :, pl.ds(grp8, 8)], rmwv,
+                                       rsem.at[1])
+            rk.start()
+            rv.start()
+
+            # Qm (B, H, d): row h = q masked to head h's lane group — per-head
+            # scores come from ONE batched MXU dot against full-d cache rows
+            Qm = (q[:, None, :] * hm[None]).astype(cdt)
+
+            nblk = _idiv(pos + tbp - 1, tbp)
+
+            def get_dma(slot, j):
+                off = pl.multiple_of(j * tbp, tbp)
+                return (
+                    pltpu.make_async_copy(kc.at[l, :, pl.ds(off, tbp)],
+                                          kbuf.at[slot], sem.at[0, slot]),
+                    pltpu.make_async_copy(vc.at[l, :, pl.ds(off, tbp)],
+                                          vbuf.at[slot], sem.at[1, slot]),
+                )
+
+            @pl.when(nblk > 0)
             def _():
-                kn_, vn_ = get_dma(_irem(j + 1, 2), j + 1)
-                kn_.start()
-                vn_.start()
+                k0, v0 = get_dma(0, 0)
+                k0.start()
+                v0.start()
 
-            kj, vj = get_dma(slot, j)
-            kj.wait()
-            vj.wait()
-            kb = kbuf[slot]  # (B, tbp, d) cache rows
-            s = jax.lax.dot_general(  # (B, H, tbp) per-head scores
-                Qm, kb, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec)
-            t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
-                                             2) + j * tbp
-            s = _sel(t_ids < pos, s, NEG_INF)  # strict: new token merges last
-            m_new = jnp.maximum(m, jnp.max(s, axis=2))  # (B, H)
-            pbl = jnp.exp(s - m_new[:, :, None])
-            corr = jnp.exp(m - m_new)
-            l_new = lsum * corr + jnp.sum(pbl, axis=2)
-            pv = jax.lax.dot_general(  # (B, H, d) full-lane weighted V
-                pbl.astype(cdt), vbuf[slot], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec)
-            return m_new, l_new, acc * corr[:, :, None] + pv
+            prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
 
-        m0 = jnp.full((B, H), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((B, H), jnp.float32)
-        a0 = jnp.zeros((B, H, d), jnp.float32)
-        m, lsum, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+            def body(j, carry):
+                m, lsum, acc = carry
+                slot = _irem(j, 2)
 
-        # merge the new token (never round-trips through HBM)
-        s_new = jax.lax.dot_general(  # (B, H): per-head q . k_new
-            q * kn, hm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_f = jnp.maximum(m, s_new)
-        corr = jnp.exp(m - m_f)
-        p_new = jnp.exp(s_new - m_f)
-        l_f = lsum * corr + p_new
-        heads = acc * corr[:, :, None] + p_new[:, :, None] * (
-            vn[:, None, :] * hm[None])           # (B, H, d)
-        # collapse: lane i belongs to head i//D; l_f expands via one-hot dot
-        out = jnp.sum(heads * hm[None], axis=1)  # (B, d)
-        l_lanes = jax.lax.dot_general(
-            l_f, hm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (B, d)
-        attn2d = _rt(out / jnp.maximum(l_lanes, 1e-30))
+                @pl.when(j + 1 < nblk)
+                def _():
+                    kn_, vn_ = get_dma(_irem(j + 1, 2), j + 1)
+                    kn_.start()
+                    vn_.start()
 
-        # complete the append RMW (row `pos` gets this step's k/v)
-        rk.wait()
-        rv.wait()
-        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, d), 1)
-        selm = sub_ids == sub
-        rmwk[:] = _sel(selm, jnp.broadcast_to(kn.astype(cdt)[:, None, :],
-                                              (B, 8, d)), rmwk[:])
-        rmwv[:] = _sel(selm, jnp.broadcast_to(vn.astype(cdt)[:, None, :],
-                                              (B, 8, d)), rmwv[:])
-        wk = pltpu.make_async_copy(rmwk, kc.at[l, :, pl.ds(grp8, 8)],
-                                   rsem.at[0])
-        wv = pltpu.make_async_copy(rmwv, vc.at[l, :, pl.ds(grp8, 8)],
-                                   rsem.at[1])
-        wk.start()
-        wv.start()
-        wk.wait()
-        wv.wait()
+                kj, vj = get_dma(slot, j)
+                kj.wait()
+                vj.wait()
+                kb = kbuf[slot]  # (B, tbp, d) cache rows
+                s = jax.lax.dot_general(  # (B, H, tbp) per-head scores
+                    Qm, kb, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec)
+                t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
+                                                 2) + j * tbp
+                s = _sel(t_ids < pos, s, NEG_INF)  # strict: new token merges last
+                m_new = jnp.maximum(m, jnp.max(s, axis=2))  # (B, H)
+                pbl = jnp.exp(s - m_new[:, :, None])
+                corr = jnp.exp(m - m_new)
+                l_new = lsum * corr + jnp.sum(pbl, axis=2)
+                pv = jax.lax.dot_general(  # (B, H, d) full-lane weighted V
+                    pbl.astype(cdt), vbuf[slot], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec)
+                return m_new, l_new, acc * corr[:, :, None] + pv
 
-        # ---- attn-proj tile + residual + LN2 --------------------------
-        proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
-                * (xs_ref[l, 1] * w_s) + b_t)
-        if has_lora:
-            xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, 0],
-                         preferred_element_type=jnp.float32)
-            proj = proj + lora_b(xa)
-        h1 = _rt(o_ref[:] + _rt(proj))
-        o_ref[:] = h1
-        hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
-                               eps))
+            m0 = jnp.full((B, H), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((B, H), jnp.float32)
+            a0 = jnp.zeros((B, H, d), jnp.float32)
+            m, lsum, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
 
-    # ---- t == 4..7: fc out-tile + GELU --------------------------------
-    @pl.when(t == 4)
-    def _():
-        qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
-        if has_lora:
-            xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, 0],
-                               preferred_element_type=jnp.float32)
+            # merge the new token (never round-trips through HBM)
+            s_new = jax.lax.dot_general(  # (B, H): per-head q . k_new
+                q * kn, hm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_f = jnp.maximum(m, s_new)
+            corr = jnp.exp(m - m_f)
+            p_new = jnp.exp(s_new - m_f)
+            l_f = lsum * corr + p_new
+            heads = acc * corr[:, :, None] + p_new[:, :, None] * (
+                vn[:, None, :] * hm[None])           # (B, H, d)
+            # collapse: lane i belongs to head i//D; l_f expands via one-hot dot
+            out = jnp.sum(heads * hm[None], axis=1)  # (B, d)
+            l_lanes = jax.lax.dot_general(
+                l_f, hm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (B, d)
+            attn2d = _rt(out / jnp.maximum(l_lanes, 1e-30))
 
-    @pl.when((t >= 4) & (t < 8))
-    def _():
-        fc = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 2] * w_s)
-              + b_t)
-        if has_lora:
-            fc = fc + lora_b(xam_s[0])
-        g_s[t - 4] = _rt(_gelu_exact(fc))
+            # complete the append RMW (row `pos` gets this step's k/v)
+            rk.wait()
+            rv.wait()
+            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, d), 1)
+            selm = sub_ids == sub
+            rmwk[:] = _sel(selm, jnp.broadcast_to(kn.astype(cdt)[:, None, :],
+                                                  (B, 8, d)), rmwk[:])
+            rmwv[:] = _sel(selm, jnp.broadcast_to(vn.astype(cdt)[:, None, :],
+                                                  (B, 8, d)), rmwv[:])
+            wk = pltpu.make_async_copy(rmwk, kc.at[l, :, pl.ds(grp8, 8)],
+                                       rsem.at[0])
+            wv = pltpu.make_async_copy(rmwv, vc.at[l, :, pl.ds(grp8, 8)],
+                                       rsem.at[1])
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
 
-    # ---- t == 8..11: mlp-proj in-tile partial sums (exact s32 split) --
-    @pl.when(t >= 8)
-    def _():
-        g_chunk = g_s[t - 8]
-        part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
-        if has_lora:
-            xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, 0],
-                          preferred_element_type=jnp.float32)
-
-        @pl.when(t == 8)
-        def _():
-            acc_s[:] = part_dot
+            # ---- attn-proj tile + residual + LN2 --------------------------
+            proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
+                    * (xs_ref[l, 1] * w_s) + b_t)
             if has_lora:
-                xam_s[1] = xam
+                xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, _sub],
+                             preferred_element_type=jnp.float32)
+                proj = proj + lora_b(xa)
+            h1 = _rt(o_ref[:] + _rt(proj))
+            o_ref[:] = h1
+            hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
+                                   eps))
 
-        @pl.when(t > 8)
+        # ---- t == 4..7: fc out-tile + GELU --------------------------------
+        @pl.when(t == 4)
         def _():
-            acc_s[:] = acc_s[:] + part_dot
+            qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
             if has_lora:
-                xam_s[1] = xam_s[1] + xam
+                xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, _sub],
+                                   preferred_element_type=jnp.float32)
 
-    @pl.when(t == N_TILES - 1)
-    def _():
-        mlp = (acc_s[:].astype(jnp.float32) * (xs_ref[l, 3] * w_s) + b_t)
-        if has_lora:
-            mlp = mlp + lora_b(xam_s[1])
-        o_ref[:] = _rt(o_ref[:] + _rt(mlp))
+        @pl.when((t >= 4) & (t < 8))
+        def _():
+            fc = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 2] * w_s)
+                  + b_t)
+            if has_lora:
+                fc = fc + lora_b(xam_s[0])
+            g_s[t - 4] = _rt(_gelu_exact(fc))
+
+        # ---- t == 8..11: mlp-proj in-tile partial sums (exact s32 split) --
+        @pl.when(t >= 8)
+        def _():
+            g_chunk = g_s[t - 8]
+            part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
+            if has_lora:
+                xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, _sub],
+                              preferred_element_type=jnp.float32)
+
+            @pl.when(t == 8)
+            def _():
+                acc_s[:] = part_dot
+                if has_lora:
+                    xam_s[1] = xam
+
+            @pl.when(t > 8)
+            def _():
+                acc_s[:] = acc_s[:] + part_dot
+                if has_lora:
+                    xam_s[1] = xam_s[1] + xam
+
+        @pl.when(t == N_TILES - 1)
+        def _():
+            mlp = (acc_s[:].astype(jnp.float32) * (xs_ref[l, 3] * w_s) + b_t)
+            if has_lora:
+                mlp = mlp + lora_b(xam_s[1])
+            o_ref[:] = _rt(o_ref[:] + _rt(mlp))
 
 
 def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
                      n_head: int, head_dim: int, has_lora: bool,
                      eps: float = 1e-5, tbp: int = 32,
                      act_dtype=jnp.bfloat16, aq_max: float = 127.0,
+                     tiles_per_step: int = 1,
                      interpret: bool = False):
     """Run every transformer layer of one decode step in one Pallas call.
 
@@ -566,12 +573,17 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
     wbits = 4 if dk == d // 2 else 8
     assert dk in (d, d // 2), (dk, d)
 
+    tpg = int(tiles_per_step)
+    if N_TILES % tpg or (tpg > 1 and LORA_BANKS != "full"):
+        raise ValueError(
+            f"tiles_per_step={tpg} must divide {N_TILES} and requires "
+            "LORA_BANKS='full' (compact index maps are per single tile)")
     kernel = functools.partial(
         _mega_kernel, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
         has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
-        wbits=wbits, aq_max=float(aq_max))
+        wbits=wbits, aq_max=float(aq_max), tpg=tpg)
 
-    grid = (L, N_TILES)
+    grid = (L, N_TILES // tpg)
     out, kc, vc = pl.pallas_call(
         kernel,
         grid=grid,
@@ -582,18 +594,20 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
                          memory_space=pltpu.VMEM),            # h
             pl.BlockSpec((H, d), lambda l, t: (0, 0),
                          memory_space=pltpu.VMEM),            # head mask
-            pl.BlockSpec((1, 1, dk, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, dk, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # wt
-            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # ws
-            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # bias
-            pl.BlockSpec((1, 1, d, r),
-                         lambda l, t: (l, _at_idx(t), 0, 0),
-                         memory_space=pltpu.VMEM),            # at (compact)
-            pl.BlockSpec((1, 1, r, d),
-                         lambda l, t: (l, _bt_idx(t), 0, 0),
-                         memory_space=pltpu.VMEM),            # bt (compact)
+            pl.BlockSpec((1, tpg, d, r),
+                         lambda l, t: (l, t if tpg > 1 else _at_idx(t),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),            # at
+            pl.BlockSpec((1, tpg, r, d),
+                         lambda l, t: (l, t if tpg > 1 else _bt_idx(t),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),            # bt
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln
             pl.BlockSpec(memory_space=pltpu.ANY),             # kc
@@ -641,7 +655,8 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
 
 def _mega_kernel_kv8(*refs,
                      eps, sm_scale, tbp, B, H, has_lora, act_dtype,
-                     wbits=8, aq_max=127.0, kv_bits=8, per_slot=False):
+                     wbits=8, aq_max=127.0, kv_bits=8, per_slot=False,
+                     tpg=1):
     """`_mega_kernel` with the KV cache in int8 (KV8 of the reference's
     W-A-KV configs, `part3_eval_sp/bit_configurations.py`): codes (L,B,T,d)
     int8 + per-row scales (L,B,T) f32. The attention dots run s8xs8->s32 on
@@ -694,10 +709,10 @@ def _mega_kernel_kv8(*refs,
         del kc_in, vc_in, ks_in, vs_in  # aliased
         pos = pos_ref[0]
     l = pl.program_id(0)
-    t = pl.program_id(1)
+    t_step = pl.program_id(1)
     d = h_ref.shape[1]
 
-    @pl.when((l == 0) & (t == 0))
+    @pl.when((l == 0) & (t_step == 0))
     def _():
         o_ref[:] = h_ref[:]
 
@@ -708,329 +723,336 @@ def _mega_kernel_kv8(*refs,
         r = (u + 0x7FFF + ((u >> 16) & 1)) & jnp.int32(-65536)
         return pltpu.bitcast(r, jnp.float32)
 
-    w_tile = wt_ref[0, 0]
-    w_s = ws_ref[0, 0]
-    b_t = bias_ref[0, 0]
+    # `tpg` tiles per grid step (fewer, fatter steps): the 144-step
+    # schedule's per-grid-step fixed cost dominated the decode budget
+    # (docs/RESULTS_R4.md); the python loop replays the original
+    # per-tile body once per sub-tile with `t` the global tile index.
+    for _sub in range(tpg):
+        t = t_step * tpg + _sub
+        w_tile = wt_ref[0, _sub]
+        w_s = ws_ref[0, _sub]
+        b_t = bias_ref[0, _sub]
 
-    def i8dot(qx):
-        if wbits == 4:
-            if I4_UNPACK == "i8":
-                # int8-native shifts: no (d/2, d) int32 materialization in
-                # the unpack (round-4 W4 critical-path fix)
-                lo = (w_tile << 4) >> 4   # sign-extended low nibble
-                hi = w_tile >> 4          # arithmetic shift, stays int8
-            else:
-                wi = w_tile.astype(jnp.int32)
-                lo = ((wi << 28) >> 28).astype(jnp.int8)
-                hi = (wi >> 4).astype(jnp.int8)
+        def i8dot(qx):
+            if wbits == 4:
+                if I4_UNPACK == "i8":
+                    # int8-native shifts: no (d/2, d) int32 materialization in
+                    # the unpack (round-4 W4 critical-path fix)
+                    lo = (w_tile << 4) >> 4   # sign-extended low nibble
+                    hi = w_tile >> 4          # arithmetic shift, stays int8
+                else:
+                    wi = w_tile.astype(jnp.int32)
+                    lo = ((wi << 28) >> 28).astype(jnp.int8)
+                    hi = (wi >> 4).astype(jnp.int8)
+                d2 = d // 2
+                acc = jax.lax.dot_general(
+                    qx[:, :d2], lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return acc + jax.lax.dot_general(
+                    qx[:, d2:], hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+
+        def lora_b(xa):
+            return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, _sub],
+                           preferred_element_type=jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            hn = _rt(_ln_f32(o_ref[:], ln_ref[0, 0:1, :], ln_ref[0, 1:2, :],
+                             eps))
+            qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
+            if has_lora:
+                xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, _sub],
+                                   preferred_element_type=jnp.float32)
+
+        @pl.when(t < 3)
+        def _():
+            out = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 0] * w_s)
+                   + b_t)
+            if has_lora:
+                out = out + lora_b(xam_s[0])
+            qkv_s[t] = out
+
+        @pl.when(t == 3)
+        def _():
+            q = qkv_s[0] * sm_scale
+            # per-row int8 quantization of the new K/V (round-trip applied so
+            # the in-register merge sees the same values future steps stream)
+            kn_f = qkv_s[1]
+            vn_f = qkv_s[2]
+            kvq = 127.0 if kv_bits == 8 else 7.0
             d2 = d // 2
-            acc = jax.lax.dot_general(
-                qx[:, :d2], lo, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return acc + jax.lax.dot_general(
-                qx[:, d2:], hi, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
+            ks_new = jnp.maximum(jnp.max(jnp.abs(kn_f), axis=1, keepdims=True),
+                                 1e-8) / kvq                 # (B, 1)
+            vs_new = jnp.maximum(jnp.max(jnp.abs(vn_f), axis=1, keepdims=True),
+                                 1e-8) / kvq
+            kcode = _clamp(_rne(kn_f / ks_new), -kvq, kvq)
+            vcode = _clamp(_rne(vn_f / vs_new), -kvq, kvq)
+            kn = kcode * ks_new                               # dequant view
+            vn = vcode * vs_new
+            hm = hm_ref[:]
 
-    def lora_b(xa):
-        return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, 0],
-                       preferred_element_type=jnp.float32)
+            if per_slot:
+                # (B, 1, 1) per-slot MAIN-prefix lengths from the SMEM scalars
+                iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+                pos_vec = jnp.zeros((B, 1, 1), jnp.int32)
+                for b_i in range(B):
+                    pos_vec = jnp.where(iota_b == b_i, pos_ref[b_i], pos_vec)
+            # append-RMW targets the (recent, in per_slot mode) aliased caches
+            grp8 = pl.multiple_of(_idiv(pos, 8) * 8, 8)
+            sub = _irem(pos, 8)
+            rk = pltpu.make_async_copy(kc.at[l, :, pl.ds(grp8, 8)], rmwk,
+                                       rsem.at[0])
+            rv = pltpu.make_async_copy(vc.at[l, :, pl.ds(grp8, 8)], rmwv,
+                                       rsem.at[1])
+            rks = pltpu.make_async_copy(ksc.at[l, pl.ds(grp8, 8)], rmwks,
+                                        rssem.at[0])
+            rvs = pltpu.make_async_copy(vsc.at[l, pl.ds(grp8, 8)], rmwvs,
+                                        rssem.at[1])
+            rk.start()
+            rv.start()
+            rks.start()
+            rvs.start()
 
-    @pl.when(t == 0)
-    def _():
-        hn = _rt(_ln_f32(o_ref[:], ln_ref[0, 0:1, :], ln_ref[0, 1:2, :],
-                         eps))
-        qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
-        if has_lora:
-            xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, 0],
-                               preferred_element_type=jnp.float32)
+            # scatter per-batch scales into their lanes: (1, B) @ eye(B, 128)
+            eyeB = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+                    ).astype(jnp.float32)
 
-    @pl.when(t < 3)
-    def _():
-        out = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 0] * w_s)
-               + b_t)
-        if has_lora:
-            out = out + lora_b(xam_s[0])
-        qkv_s[t] = out
+            # Qm quantized per (b, h) row: q already carries sm_scale
+            Qm = q[:, None, :] * hm[None]                     # (B, H, d) f32
+            qs = jnp.maximum(jnp.max(jnp.abs(Qm), axis=2, keepdims=True),
+                             1e-8) / 127.0                    # (B, H, 1)
+            Qmq = _clamp(_rne(Qm / qs), -127.0, 127.0).astype(jnp.int8)
 
-    @pl.when(t == 3)
-    def _():
-        q = qkv_s[0] * sm_scale
-        # per-row int8 quantization of the new K/V (round-trip applied so
-        # the in-register merge sees the same values future steps stream)
-        kn_f = qkv_s[1]
-        vn_f = qkv_s[2]
-        kvq = 127.0 if kv_bits == 8 else 7.0
-        d2 = d // 2
-        ks_new = jnp.maximum(jnp.max(jnp.abs(kn_f), axis=1, keepdims=True),
-                             1e-8) / kvq                 # (B, 1)
-        vs_new = jnp.maximum(jnp.max(jnp.abs(vn_f), axis=1, keepdims=True),
-                             1e-8) / kvq
-        kcode = _clamp(_rne(kn_f / ks_new), -kvq, kvq)
-        vcode = _clamp(_rne(vn_f / vs_new), -kvq, kvq)
-        kn = kcode * ks_new                               # dequant view
-        vn = vcode * vs_new
-        hm = hm_ref[:]
+            def get_dma(slot, j, srcs):
+                kcx, vcx, kscx, vscx = srcs
+                off = pl.multiple_of(j * tbp, tbp)
+                return (
+                    pltpu.make_async_copy(kcx.at[l, :, pl.ds(off, tbp)],
+                                          kbuf.at[slot], sem.at[0, slot]),
+                    pltpu.make_async_copy(vcx.at[l, :, pl.ds(off, tbp)],
+                                          vbuf.at[slot], sem.at[1, slot]),
+                    pltpu.make_async_copy(kscx.at[l, pl.ds(off, tbp)],
+                                          ksbuf.at[slot], ssem.at[0, slot]),
+                    pltpu.make_async_copy(vscx.at[l, pl.ds(off, tbp)],
+                                          vsbuf.at[slot], ssem.at[1, slot]),
+                )
 
-        if per_slot:
-            # (B, 1, 1) per-slot MAIN-prefix lengths from the SMEM scalars
-            iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
-            pos_vec = jnp.zeros((B, 1, 1), jnp.int32)
-            for b_i in range(B):
-                pos_vec = jnp.where(iota_b == b_i, pos_ref[b_i], pos_vec)
-        # append-RMW targets the (recent, in per_slot mode) aliased caches
-        grp8 = pl.multiple_of(_idiv(pos, 8) * 8, 8)
-        sub = _irem(pos, 8)
-        rk = pltpu.make_async_copy(kc.at[l, :, pl.ds(grp8, 8)], rmwk,
-                                   rsem.at[0])
-        rv = pltpu.make_async_copy(vc.at[l, :, pl.ds(grp8, 8)], rmwv,
-                                   rsem.at[1])
-        rks = pltpu.make_async_copy(ksc.at[l, pl.ds(grp8, 8)], rmwks,
-                                    rssem.at[0])
-        rvs = pltpu.make_async_copy(vsc.at[l, pl.ds(grp8, 8)], rmwvs,
-                                    rssem.at[1])
-        rk.start()
-        rv.start()
-        rks.start()
-        rvs.start()
+            def stream(carry0, srcs, nblk, limit):
+                """Online-softmax pass over one cache (double-buffered blocks);
+                `limit` is the valid-row bound — scalar (batch-uniform) or
+                (B, 1, 1) per-slot."""
 
-        # scatter per-batch scales into their lanes: (1, B) @ eye(B, 128)
-        eyeB = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
-                ).astype(jnp.float32)
-
-        # Qm quantized per (b, h) row: q already carries sm_scale
-        Qm = q[:, None, :] * hm[None]                     # (B, H, d) f32
-        qs = jnp.maximum(jnp.max(jnp.abs(Qm), axis=2, keepdims=True),
-                         1e-8) / 127.0                    # (B, H, 1)
-        Qmq = _clamp(_rne(Qm / qs), -127.0, 127.0).astype(jnp.int8)
-
-        def get_dma(slot, j, srcs):
-            kcx, vcx, kscx, vscx = srcs
-            off = pl.multiple_of(j * tbp, tbp)
-            return (
-                pltpu.make_async_copy(kcx.at[l, :, pl.ds(off, tbp)],
-                                      kbuf.at[slot], sem.at[0, slot]),
-                pltpu.make_async_copy(vcx.at[l, :, pl.ds(off, tbp)],
-                                      vbuf.at[slot], sem.at[1, slot]),
-                pltpu.make_async_copy(kscx.at[l, pl.ds(off, tbp)],
-                                      ksbuf.at[slot], ssem.at[0, slot]),
-                pltpu.make_async_copy(vscx.at[l, pl.ds(off, tbp)],
-                                      vsbuf.at[slot], ssem.at[1, slot]),
-            )
-
-        def stream(carry0, srcs, nblk, limit):
-            """Online-softmax pass over one cache (double-buffered blocks);
-            `limit` is the valid-row bound — scalar (batch-uniform) or
-            (B, 1, 1) per-slot."""
-
-            @pl.when(nblk > 0)
-            def _():
-                for c in get_dma(0, 0, srcs):
-                    c.start()
-
-            def body(j, carry):
-                m, lsum, acc = carry
-                slot = _irem(j, 2)
-
-                @pl.when(j + 1 < nblk)
+                @pl.when(nblk > 0)
                 def _():
-                    for c in get_dma(_irem(j + 1, 2), j + 1, srcs):
+                    for c in get_dma(0, 0, srcs):
                         c.start()
 
-                for c in get_dma(slot, j, srcs):
-                    c.wait()
-                kb = kbuf[slot]    # (B, tbp, d) int8 codes — or packed d/2
-                ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tpb,B)->(B,tbp)
-                if kv_bits == 4:
-                    kbi = kb.astype(jnp.int32)   # no int8 shifts on Mosaic
-                    kb_lo = ((kbi << 28) >> 28).astype(jnp.int8)  # [0, d/2)
-                    kb_hi = (kbi >> 4).astype(jnp.int8)           # [d/2, d)
-                    s32 = jax.lax.dot_general(
-                        Qmq[:, :, :d2], kb_lo, (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32)
-                    s32 = s32 + jax.lax.dot_general(
-                        Qmq[:, :, d2:], kb_hi, (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32)
-                else:
-                    s32 = jax.lax.dot_general(  # s8 x s8 -> s32 scores
-                        Qmq, kb, (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32)
-                s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
-                t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
-                                                 2) + j * tbp
-                s = _sel(t_ids < limit, s, NEG_INF)
-                m_new = jnp.maximum(m, jnp.max(s, axis=2))
-                pbl = jnp.exp(s - m_new[:, :, None])
-                corr = jnp.exp(m - m_new)
-                l_new = lsum * corr + jnp.sum(pbl, axis=2)
-                # fold per-row V scales into the probabilities, quantize
-                pscaled = pbl * jnp.transpose(
-                    vsbuf[slot][:, :B])[:, None, :]
-                ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
-                                 1e-30) / 127.0
-                pq = _clamp(_rne(pscaled / ps), -127.0,
-                            127.0).astype(jnp.int8)
-                if kv_bits == 4:
-                    vbi = vbuf[slot].astype(jnp.int32)
-                    pv_lo = jax.lax.dot_general(
-                        pq, ((vbi << 28) >> 28).astype(jnp.int8),
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32)
-                    pv_hi = jax.lax.dot_general(
-                        pq, (vbi >> 4).astype(jnp.int8),
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32)
-                    pv32 = jnp.concatenate([pv_lo, pv_hi], axis=2)
-                else:
-                    pv32 = jax.lax.dot_general(
-                        pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.int32)
-                pv = pv32.astype(jnp.float32) * ps
-                return m_new, l_new, acc * corr[:, :, None] + pv
+                def body(j, carry):
+                    m, lsum, acc = carry
+                    slot = _irem(j, 2)
 
-            return jax.lax.fori_loop(0, nblk, body, carry0)
+                    @pl.when(j + 1 < nblk)
+                    def _():
+                        for c in get_dma(_irem(j + 1, 2), j + 1, srcs):
+                            c.start()
 
-        m0 = jnp.full((B, H), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((B, H), jnp.float32)
-        a0 = jnp.zeros((B, H, d), jnp.float32)
-        if per_slot:
-            # main prefixes (read-only, per-slot masked), then the
-            # chunk-local recent tokens (uniform position)
-            nblk_main = _idiv(maxpos_ref[0] + tbp - 1, tbp)
-            carry = stream((m0, l0, a0), (kcm, vcm, kscm, vscm),
-                           nblk_main, pos_vec)
-            nblk_rec = _idiv(pos + tbp - 1, tbp)
-            m, lsum, acc = stream(carry, (kc, vc, ksc, vsc), nblk_rec, pos)
-        else:
-            nblk = _idiv(pos + tbp - 1, tbp)
-            m, lsum, acc = stream((m0, l0, a0), (kc, vc, ksc, vsc), nblk,
-                                  pos)
+                    for c in get_dma(slot, j, srcs):
+                        c.wait()
+                    kb = kbuf[slot]    # (B, tbp, d) int8 codes — or packed d/2
+                    ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tpb,B)->(B,tbp)
+                    if kv_bits == 4:
+                        kbi = kb.astype(jnp.int32)   # no int8 shifts on Mosaic
+                        kb_lo = ((kbi << 28) >> 28).astype(jnp.int8)  # [0, d/2)
+                        kb_hi = (kbi >> 4).astype(jnp.int8)           # [d/2, d)
+                        s32 = jax.lax.dot_general(
+                            Qmq[:, :, :d2], kb_lo, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+                        s32 = s32 + jax.lax.dot_general(
+                            Qmq[:, :, d2:], kb_hi, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+                    else:
+                        s32 = jax.lax.dot_general(  # s8 x s8 -> s32 scores
+                            Qmq, kb, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+                    s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
+                    t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
+                                                     2) + j * tbp
+                    s = _sel(t_ids < limit, s, NEG_INF)
+                    m_new = jnp.maximum(m, jnp.max(s, axis=2))
+                    pbl = jnp.exp(s - m_new[:, :, None])
+                    corr = jnp.exp(m - m_new)
+                    l_new = lsum * corr + jnp.sum(pbl, axis=2)
+                    # fold per-row V scales into the probabilities, quantize
+                    pscaled = pbl * jnp.transpose(
+                        vsbuf[slot][:, :B])[:, None, :]
+                    ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
+                                     1e-30) / 127.0
+                    pq = _clamp(_rne(pscaled / ps), -127.0,
+                                127.0).astype(jnp.int8)
+                    if kv_bits == 4:
+                        vbi = vbuf[slot].astype(jnp.int32)
+                        pv_lo = jax.lax.dot_general(
+                            pq, ((vbi << 28) >> 28).astype(jnp.int8),
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+                        pv_hi = jax.lax.dot_general(
+                            pq, (vbi >> 4).astype(jnp.int8),
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+                        pv32 = jnp.concatenate([pv_lo, pv_hi], axis=2)
+                    else:
+                        pv32 = jax.lax.dot_general(
+                            pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+                    pv = pv32.astype(jnp.float32) * ps
+                    return m_new, l_new, acc * corr[:, :, None] + pv
 
-        s_new = jax.lax.dot_general(
-            q * kn, hm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_f = jnp.maximum(m, s_new)
-        corr = jnp.exp(m - m_f)
-        p_new = jnp.exp(s_new - m_f)
-        l_f = lsum * corr + p_new
-        heads = acc * corr[:, :, None] + p_new[:, :, None] * (
-            vn[:, None, :] * hm[None])
-        out = jnp.sum(heads * hm[None], axis=1)
-        l_lanes = jax.lax.dot_general(
-            l_f, hm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        attn2d = _rt(out / jnp.maximum(l_lanes, 1e-30))
+                return jax.lax.fori_loop(0, nblk, body, carry0)
 
-        if kv_bits == 4:
-            def _pack(c):  # i32 bit math (no int8 shifts on Mosaic)
-                lo = c[:, :d2].astype(jnp.int32)
-                hi = c[:, d2:].astype(jnp.int32)
-                return ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+            m0 = jnp.full((B, H), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((B, H), jnp.float32)
+            a0 = jnp.zeros((B, H, d), jnp.float32)
+            if per_slot:
+                # main prefixes (read-only, per-slot masked), then the
+                # chunk-local recent tokens (uniform position)
+                nblk_main = _idiv(maxpos_ref[0] + tbp - 1, tbp)
+                carry = stream((m0, l0, a0), (kcm, vcm, kscm, vscm),
+                               nblk_main, pos_vec)
+                nblk_rec = _idiv(pos + tbp - 1, tbp)
+                m, lsum, acc = stream(carry, (kc, vc, ksc, vsc), nblk_rec, pos)
+            else:
+                nblk = _idiv(pos + tbp - 1, tbp)
+                m, lsum, acc = stream((m0, l0, a0), (kc, vc, ksc, vsc), nblk,
+                                      pos)
 
-            kbytes = _pack(kcode)
-            vbytes = _pack(vcode)
-        else:
-            kbytes = kcode.astype(jnp.int8)
-            vbytes = vcode.astype(jnp.int8)
-        dc = kbytes.shape[1]
-        ks_lanes = jnp.dot(jnp.transpose(ks_new), eyeB,
-                           preferred_element_type=jnp.float32)  # (1, 128)
-        vs_lanes = jnp.dot(jnp.transpose(vs_new), eyeB,
-                           preferred_element_type=jnp.float32)
-        rk.wait()
-        rv.wait()
-        rks.wait()
-        rvs.wait()
-        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, dc), 1)
-        selm = sub_ids == sub
-        rmwk[:] = _sel(selm, jnp.broadcast_to(
-            kbytes[:, None, :], (B, 8, dc)), rmwk[:])
-        rmwv[:] = _sel(selm, jnp.broadcast_to(
-            vbytes[:, None, :], (B, 8, dc)), rmwv[:])
-        sub_ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        selm2 = sub_ids2 == sub
-        rmwks[:] = _sel(selm2, jnp.broadcast_to(ks_lanes, (8, 128)),
-                        rmwks[:])
-        rmwvs[:] = _sel(selm2, jnp.broadcast_to(vs_lanes, (8, 128)),
-                        rmwvs[:])
-        wk = pltpu.make_async_copy(rmwk, kc.at[l, :, pl.ds(grp8, 8)],
-                                   rsem.at[0])
-        wv = pltpu.make_async_copy(rmwv, vc.at[l, :, pl.ds(grp8, 8)],
-                                   rsem.at[1])
-        wks = pltpu.make_async_copy(rmwks, ksc.at[l, pl.ds(grp8, 8)],
-                                    rssem.at[0])
-        wvs = pltpu.make_async_copy(rmwvs, vsc.at[l, pl.ds(grp8, 8)],
-                                    rssem.at[1])
-        wk.start()
-        wv.start()
-        wks.start()
-        wvs.start()
-        wk.wait()
-        wv.wait()
-        wks.wait()
-        wvs.wait()
+            s_new = jax.lax.dot_general(
+                q * kn, hm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_f = jnp.maximum(m, s_new)
+            corr = jnp.exp(m - m_f)
+            p_new = jnp.exp(s_new - m_f)
+            l_f = lsum * corr + p_new
+            heads = acc * corr[:, :, None] + p_new[:, :, None] * (
+                vn[:, None, :] * hm[None])
+            out = jnp.sum(heads * hm[None], axis=1)
+            l_lanes = jax.lax.dot_general(
+                l_f, hm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn2d = _rt(out / jnp.maximum(l_lanes, 1e-30))
 
-        proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
-                * (xs_ref[l, 1] * w_s) + b_t)
-        if has_lora:
-            xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, 0],
-                         preferred_element_type=jnp.float32)
-            proj = proj + lora_b(xa)
-        h1 = _rt(o_ref[:] + _rt(proj))
-        o_ref[:] = h1
-        hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
-                               eps))
+            if kv_bits == 4:
+                def _pack(c):  # i32 bit math (no int8 shifts on Mosaic)
+                    lo = c[:, :d2].astype(jnp.int32)
+                    hi = c[:, d2:].astype(jnp.int32)
+                    return ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
 
-    @pl.when(t == 4)
-    def _():
-        qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
-        if has_lora:
-            xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, 0],
+                kbytes = _pack(kcode)
+                vbytes = _pack(vcode)
+            else:
+                kbytes = kcode.astype(jnp.int8)
+                vbytes = vcode.astype(jnp.int8)
+            dc = kbytes.shape[1]
+            ks_lanes = jnp.dot(jnp.transpose(ks_new), eyeB,
+                               preferred_element_type=jnp.float32)  # (1, 128)
+            vs_lanes = jnp.dot(jnp.transpose(vs_new), eyeB,
                                preferred_element_type=jnp.float32)
+            rk.wait()
+            rv.wait()
+            rks.wait()
+            rvs.wait()
+            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 8, dc), 1)
+            selm = sub_ids == sub
+            rmwk[:] = _sel(selm, jnp.broadcast_to(
+                kbytes[:, None, :], (B, 8, dc)), rmwk[:])
+            rmwv[:] = _sel(selm, jnp.broadcast_to(
+                vbytes[:, None, :], (B, 8, dc)), rmwv[:])
+            sub_ids2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            selm2 = sub_ids2 == sub
+            rmwks[:] = _sel(selm2, jnp.broadcast_to(ks_lanes, (8, 128)),
+                            rmwks[:])
+            rmwvs[:] = _sel(selm2, jnp.broadcast_to(vs_lanes, (8, 128)),
+                            rmwvs[:])
+            wk = pltpu.make_async_copy(rmwk, kc.at[l, :, pl.ds(grp8, 8)],
+                                       rsem.at[0])
+            wv = pltpu.make_async_copy(rmwv, vc.at[l, :, pl.ds(grp8, 8)],
+                                       rsem.at[1])
+            wks = pltpu.make_async_copy(rmwks, ksc.at[l, pl.ds(grp8, 8)],
+                                        rssem.at[0])
+            wvs = pltpu.make_async_copy(rmwvs, vsc.at[l, pl.ds(grp8, 8)],
+                                        rssem.at[1])
+            wk.start()
+            wv.start()
+            wks.start()
+            wvs.start()
+            wk.wait()
+            wv.wait()
+            wks.wait()
+            wvs.wait()
 
-    @pl.when((t >= 4) & (t < 8))
-    def _():
-        fc = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 2] * w_s)
-              + b_t)
-        if has_lora:
-            fc = fc + lora_b(xam_s[0])
-        g_s[t - 4] = _rt(_gelu_exact(fc))
-
-    @pl.when(t >= 8)
-    def _():
-        g_chunk = g_s[t - 8]
-        part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
-        if has_lora:
-            xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, 0],
-                          preferred_element_type=jnp.float32)
-
-        @pl.when(t == 8)
-        def _():
-            acc_s[:] = part_dot
+            proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
+                    * (xs_ref[l, 1] * w_s) + b_t)
             if has_lora:
-                xam_s[1] = xam
+                xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, _sub],
+                             preferred_element_type=jnp.float32)
+                proj = proj + lora_b(xa)
+            h1 = _rt(o_ref[:] + _rt(proj))
+            o_ref[:] = h1
+            hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
+                                   eps))
 
-        @pl.when(t > 8)
+        @pl.when(t == 4)
         def _():
-            acc_s[:] = acc_s[:] + part_dot
+            qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
             if has_lora:
-                xam_s[1] = xam_s[1] + xam
+                xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, _sub],
+                                   preferred_element_type=jnp.float32)
 
-    @pl.when(t == N_TILES - 1)
-    def _():
-        mlp = (acc_s[:].astype(jnp.float32) * (xs_ref[l, 3] * w_s) + b_t)
-        if has_lora:
-            mlp = mlp + lora_b(xam_s[1])
-        o_ref[:] = _rt(o_ref[:] + _rt(mlp))
+        @pl.when((t >= 4) & (t < 8))
+        def _():
+            fc = (i8dot(qx_s[:]).astype(jnp.float32) * (xs_ref[l, 2] * w_s)
+                  + b_t)
+            if has_lora:
+                fc = fc + lora_b(xam_s[0])
+            g_s[t - 4] = _rt(_gelu_exact(fc))
+
+        @pl.when(t >= 8)
+        def _():
+            g_chunk = g_s[t - 8]
+            part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
+            if has_lora:
+                xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, _sub],
+                              preferred_element_type=jnp.float32)
+
+            @pl.when(t == 8)
+            def _():
+                acc_s[:] = part_dot
+                if has_lora:
+                    xam_s[1] = xam
+
+            @pl.when(t > 8)
+            def _():
+                acc_s[:] = acc_s[:] + part_dot
+                if has_lora:
+                    xam_s[1] = xam_s[1] + xam
+
+        @pl.when(t == N_TILES - 1)
+        def _():
+            mlp = (acc_s[:].astype(jnp.float32) * (xs_ref[l, 3] * w_s) + b_t)
+            if has_lora:
+                mlp = mlp + lora_b(xam_s[1])
+            o_ref[:] = _rt(o_ref[:] + _rt(mlp))
 
 
 def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
                          v_scale, pos, *, n_head: int, head_dim: int,
                          has_lora: bool, eps: float = 1e-5, tbp: int = 32,
                          act_dtype=jnp.bfloat16, aq_max: float = 127.0,
-                         kv_bits: int = 8, interpret: bool = False):
+                         kv_bits: int = 8, tiles_per_step: int = 1,
+                         interpret: bool = False):
     """`mega_decode_step` with int8 (or packed int4) KV caches + per-row
     scales.
 
@@ -1069,12 +1091,17 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
 
     hm = (jnp.arange(d) // D == jnp.arange(H)[:, None]).astype(jnp.float32)
 
+    tpg = int(tiles_per_step)
+    if N_TILES % tpg or (tpg > 1 and LORA_BANKS != "full"):
+        raise ValueError(
+            f"tiles_per_step={tpg} must divide {N_TILES} and requires "
+            "LORA_BANKS='full' (compact index maps are per single tile)")
     kernel = functools.partial(
         _mega_kernel_kv8, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
         has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
-        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits)
+        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits, tpg=tpg)
 
-    grid = (L, N_TILES)
+    grid = (L, N_TILES // tpg)
     out, kc, vc, ks, vs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1085,18 +1112,20 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
                          memory_space=pltpu.VMEM),            # h
             pl.BlockSpec((H, d), lambda l, t: (0, 0),
                          memory_space=pltpu.VMEM),            # head mask
-            pl.BlockSpec((1, 1, dk, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, dk, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # wt
-            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # ws
-            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # bias
-            pl.BlockSpec((1, 1, d, r),
-                         lambda l, t: (l, _at_idx(t), 0, 0),
-                         memory_space=pltpu.VMEM),            # at (compact)
-            pl.BlockSpec((1, 1, r, d),
-                         lambda l, t: (l, _bt_idx(t), 0, 0),
-                         memory_space=pltpu.VMEM),            # bt (compact)
+            pl.BlockSpec((1, tpg, d, r),
+                         lambda l, t: (l, t if tpg > 1 else _at_idx(t),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),            # at
+            pl.BlockSpec((1, tpg, r, d),
+                         lambda l, t: (l, t if tpg > 1 else _bt_idx(t),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),            # bt
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln
             pl.BlockSpec(memory_space=pltpu.ANY),             # kc
@@ -1154,7 +1183,8 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
                         rpos, *, n_head: int, head_dim: int,
                         has_lora: bool, eps: float = 1e-5, tbp: int = 64,
                         act_dtype=jnp.bfloat16, aq_max: float = 127.0,
-                        kv_bits: int = 8, interpret: bool = False):
+                        kv_bits: int = 8, tiles_per_step: int = 1,
+                        interpret: bool = False):
     """Continuous-batching megakernel step: per-slot prefixes, two-level KV.
 
     k_main/v_main (L, B, Tc, dc) + ks_main/vs_main (L, Tc, 128): each
@@ -1199,12 +1229,18 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
     lengths = jnp.asarray(lengths, jnp.int32)
     maxpos = jnp.max(lengths).reshape(1)
 
+    tpg = int(tiles_per_step)
+    if N_TILES % tpg or (tpg > 1 and LORA_BANKS != "full"):
+        raise ValueError(
+            f"tiles_per_step={tpg} must divide {N_TILES} and requires "
+            "LORA_BANKS='full' (compact index maps are per single tile)")
     kernel = functools.partial(
         _mega_kernel_kv8, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
         has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
-        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits, per_slot=True)
+        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits, per_slot=True,
+        tpg=tpg)
 
-    grid = (L, N_TILES)
+    grid = (L, N_TILES // tpg)
     out, kr, vr, ksr, vsr = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1217,17 +1253,19 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
                          memory_space=pltpu.VMEM),            # h
             pl.BlockSpec((H, d), lambda l, t: (0, 0),
                          memory_space=pltpu.VMEM),            # head mask
-            pl.BlockSpec((1, 1, dk, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, dk, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # wt
-            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # ws
-            pl.BlockSpec((1, 1, 1, d), lambda l, t: (l, t, 0, 0),
+            pl.BlockSpec((1, tpg, 1, d), lambda l, t: (l, t, 0, 0),
                          memory_space=pltpu.VMEM),            # bias
-            pl.BlockSpec((1, 1, d, r),
-                         lambda l, t: (l, _at_idx(t), 0, 0),
+            pl.BlockSpec((1, tpg, d, r),
+                         lambda l, t: (l, t if tpg > 1 else _at_idx(t),
+                                       0, 0),
                          memory_space=pltpu.VMEM),            # at
-            pl.BlockSpec((1, 1, r, d),
-                         lambda l, t: (l, _bt_idx(t), 0, 0),
+            pl.BlockSpec((1, tpg, r, d),
+                         lambda l, t: (l, t if tpg > 1 else _bt_idx(t),
+                                       0, 0),
                          memory_space=pltpu.VMEM),            # bt
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln

@@ -349,7 +349,8 @@ class ContinuousBatchingEngine:
                 h, self.mega, *main, *rec, lengths0, rpos, n_head=m.n_head,
                 head_dim=m.head_dim, has_lora=self._has_lora,
                 eps=m.layer_norm_epsilon, tbp=tbp, act_dtype=dtype,
-                aq_max=aq_max, kv_bits=kv_bits, interpret=attn_interpret)
+                aq_max=aq_max, kv_bits=kv_bits, tiles_per_step=4,
+                interpret=attn_interpret)
             hf = _ln(h_out[:, None, :].astype(dtype), ip["ln_f"]["g"],
                      ip["ln_f"]["b"], m.layer_norm_epsilon)
             logits = _lm_head(ip, hf)[:, 0]

@@ -67,15 +67,19 @@ def bench(wf, bits, kvb, label, tbp=64):
             toks, *cs = eng._decode_mega(
                 eng.iparams, eng.mega, l0, *cs, jnp.int32(PROMPT),
                 jax.random.PRNGKey(0), **kw)
-        jax.block_until_ready(cs)
+        # np.asarray(toks) forces the whole (single) computation; an extra
+        # block_until_ready(cs) here costs a SECOND ~25 ms tunnel roundtrip
+        # (the r3/r4 artifact — see scripts/_tunnel.py).
         return np.asarray(toks), tuple(cs)
 
     toks, cs = dec(cs)  # compile
+    from _tunnel import fetch_baseline_s
+    fetch = fetch_baseline_s()
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         toks, cs = dec(cs)
-        ts.append(time.perf_counter() - t0)
+        ts.append(max(time.perf_counter() - t0 - fetch, 1e-9))
     med, mn = float(np.median(ts)), float(np.min(ts))
     print(f"{label}: median {med*1e3:.1f} ms -> {B*NEW/med:,.0f} tok/s "
           f"(min-based {B*NEW/mn:,.0f}; {med/NEW*1e6:.0f} us/step; "

@@ -72,13 +72,16 @@ for wf, bits in (("int8_xla", 8), ("int4_xla", 4)):
             return tuple(cs)
 
         cs = run(cs, 64)  # compile
+        from _tunnel import fetch_baseline_s
+        fetch = fetch_baseline_s()
         xs, ys = [], []
         for start in STARTS:
             ts = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 cs = run(cs, start)
-                ts.append((time.perf_counter() - t0) / N_NEW * 1e6)
+                ts.append(max(time.perf_counter() - t0 - fetch, 0.0)
+                          / N_NEW * 1e6)
             med = float(np.median(ts))
             xs.append(start + N_NEW / 2)  # mean live prefix over the window
             ys.append(med)

@@ -570,3 +570,54 @@ def test_engine_kv8_requires_mega():
     with pytest.raises(ValueError, match="kv_bits=8"):
         InferenceEngine(params, cfg, bits=8, weight_format="int8_xla",
                         kv_layout="dense", kv_bits=8, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("tpg", [2, 3, 4, 6])
+def test_tiles_per_step_bit_identical(tpg):
+    """Merged grid steps (r4 tiles_per_step) replay the per-tile bodies in
+    the same order, so outputs and caches must be BIT-identical to tpg=1
+    for both kernels (interpret mode, synthetic banks)."""
+    from llm_qat_tpu.ops.mega_decode import (
+        MegaWeights, mega_decode_step, mega_decode_step_kv8,
+    )
+
+    L, B, d, H, r, Tc, pos = 2, 2, 256, 4, 8, 32, 9
+    rng = np.random.default_rng(0)
+    mw = MegaWeights(
+        wt=jnp.asarray(rng.integers(-127, 127, (L, 12, d, d)), jnp.int8),
+        ws=jnp.asarray(rng.random((L, 12, 1, d)) * 0.01 + 1e-3, jnp.float32),
+        bias=jnp.asarray(rng.random((L, 12, 1, d)) * 0.01, jnp.float32),
+        at=jnp.asarray(rng.random((L, 12, d, r)) * 0.02 - 0.01, jnp.float32),
+        bt=jnp.asarray(rng.random((L, 12, r, d)) * 0.02 - 0.01, jnp.float32),
+        ln=jnp.asarray(rng.random((L, 4, d)), jnp.float32),
+        xs=jnp.asarray(rng.random((L, 4)) * 0.02 + 0.01, jnp.float32),
+    )
+    h = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((L, B, Tc, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((L, B, Tc, d)), jnp.float32)
+
+    ref = mega_decode_step(h, mw, jnp.array(kc), jnp.array(vc), pos,
+                           n_head=H, head_dim=d // H, has_lora=True,
+                           act_dtype=jnp.float32, tiles_per_step=1,
+                           interpret=True)
+    got = mega_decode_step(h, mw, jnp.array(kc), jnp.array(vc), pos,
+                           n_head=H, head_dim=d // H, has_lora=True,
+                           act_dtype=jnp.float32, tiles_per_step=tpg,
+                           interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    kc8 = jnp.asarray(rng.integers(-127, 127, (L, B, Tc, d)), jnp.int8)
+    vc8 = jnp.asarray(rng.integers(-127, 127, (L, B, Tc, d)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, Tc, 128)) * 0.01 + 1e-3, jnp.float32)
+    vs = jnp.asarray(rng.random((L, Tc, 128)) * 0.01 + 1e-3, jnp.float32)
+    ref8 = mega_decode_step_kv8(
+        h, mw, jnp.array(kc8), jnp.array(vc8), jnp.array(ks), jnp.array(vs),
+        pos, n_head=H, head_dim=d // H, has_lora=True,
+        act_dtype=jnp.float32, kv_bits=8, tiles_per_step=1, interpret=True)
+    got8 = mega_decode_step_kv8(
+        h, mw, jnp.array(kc8), jnp.array(vc8), jnp.array(ks), jnp.array(vs),
+        pos, n_head=H, head_dim=d // H, has_lora=True,
+        act_dtype=jnp.float32, kv_bits=8, tiles_per_step=tpg, interpret=True)
+    for a, b in zip(ref8, got8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
