@@ -28,7 +28,11 @@ from llm_qat_tpu.train.calibration_manager import (
 B, TC = 8, 576
 N_NEW = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-STARTS = (64, 224, 384, 504)
+# every start must satisfy start + N_NEW <= TC: the megakernel appends at
+# `pos` without bounds checks (its contract), and an overflowing window
+# DMAs past the cache -> TPU ABORT (hit in r4 with N_NEW=128 and start 504).
+STARTS = (64, 192, 320, 440)
+assert max(STARTS) + N_NEW <= TC, (STARTS, N_NEW, TC)
 
 cfg = SPModelConfig(
     model=GPT2Config(),
