@@ -77,15 +77,18 @@ def bench(wf, bits, kvb, banks, tbp, label, lora=True):
             toks, *cs = eng._decode_mega(
                 eng.iparams, eng.mega, l0, *cs, jnp.int32(PROMPT),
                 jax.random.PRNGKey(0), **kw)
-        jax.block_until_ready(cs)
+        # np.asarray forces completion; a block_until_ready here would cost
+        # a second ~25 ms tunnel roundtrip (scripts/_tunnel.py).
         return np.asarray(toks), tuple(cs)
 
     toks, cs = dec(cs)
+    from _tunnel import fetch_baseline_s
+    fetch = fetch_baseline_s()
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         toks, cs = dec(cs)
-        ts.append(time.perf_counter() - t0)
+        ts.append(max(time.perf_counter() - t0 - fetch, 1e-9))
     med = float(np.median(ts))
     print(f"{label}: {med*1e3:.1f} ms median -> {B*NEW/med:,.0f} tok/s "
           f"({med/NEW*1e6:.0f} us/step; spread "
