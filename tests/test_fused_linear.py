@@ -217,6 +217,7 @@ class TestTeacherCache:
         assert abs(inline - got16) < 2e-2 * max(abs(inline), 1.0)
 
 
+@pytest.mark.slow
 class TestStudentUnroll:
     def test_unrolled_matches_scan(self):
         from llm_qat_tpu.models.config import tiny_test_config
