@@ -35,9 +35,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..quant.functional import KIND_LOG, KIND_MINMAX, fake_quant, quantize_gradient
+from ..quant.calibration import dynamic_scale_flat
+# fake_quant_flat: the conditional-free fake-quant (identical semantics to
+# the cond/switch form, tested in tests/test_fused_linear.py) — the SP
+# train-step A/B (scripts/train_bench.py r4) showed the lax.cond chains
+# cost ~30 ms/step in fusion fencing at GPT-2 size.
+from ..quant.functional import (
+    KIND_LOG, KIND_MINMAX, fake_quant_flat as fake_quant,
+    quantize_gradient,
+)
 from .config import CPTConfig
-from .sp_model import dynamic_scale
 
 
 class CPTTables(NamedTuple):
@@ -156,8 +163,8 @@ def cpt_linear(x, p, prec, tables: CPTTables, cfg: CPTConfig,
             A = quantize_gradient(A, p["gq_scale_A"], p["gq_zp_A"], gbits, gkind)
             B = quantize_gradient(B, p["gq_scale_B"], p["gq_zp_B"], gbits, gkind)
         ch = 1 if cfg.per_channel else None
-        a_s, a_z = dynamic_scale(A, bits, kind, ch, cfg.symmetric, eps)
-        b_s, b_z = dynamic_scale(B, bits, kind, ch, cfg.symmetric, eps)
+        a_s, a_z = dynamic_scale_flat(A, bits, kind, ch, cfg.symmetric, eps)
+        b_s, b_z = dynamic_scale_flat(B, bits, kind, ch, cfg.symmetric, eps)
         Aq = fake_quant(A, a_s, a_z, bits, kind, cfg.symmetric, eps)
         Bq = fake_quant(B, b_s, b_z, bits, kind, cfg.symmetric, eps)
         scaling = cfg.lora_alpha / cfg.lora_rank
