@@ -221,10 +221,12 @@ class TrainConfig:
     distill_temperature: float = 3.0
     distill_accumulative: bool = False  # random-layer (False) vs all-layers feature loss
     # dtype of the cached teacher softmax probs shared by all student
-    # micro-steps ("bfloat16" halves the per-student (B,T,V) read traffic;
-    # probabilities in [0,1] carry ~0.4% relative error — the teacher pass
-    # itself ran under fp16 autocast in the reference, train_sp.py:319).
-    distill_cache_dtype: str = "bfloat16"
+    # micro-steps. "bfloat16" halves the per-student (B,T,V) read traffic
+    # (~1.9 ms/step on v5e) but rounds p_t so sum(p_t) != 1 and the KL
+    # gradient no longer vanishes exactly at p_s == p_t (~0.4% relative).
+    # Default is the exact reference formula; perf benches opt into
+    # bfloat16 explicitly (scripts/train_bench.py).
+    distill_cache_dtype: str = "float32"
     # Unroll the student micro-step loop (a python loop instead of
     # lax.scan). Measured on v5e (scripts/train_bench.py, r4): the unrolled
     # form is ~20 ms/step SLOWER than the scan (XLA schedules the 3x larger

@@ -137,12 +137,14 @@ def flash_attention(q, k, v, *, block_q=128, block_k=128, interpret=False):
 
 
 def flash_blocks(T: int) -> tuple:
-    """(block_q, block_k) tuned on v5e (GPT-2 shapes, B=8 H=12 D=64):
-    T=256 → (128,128) 15.7 ms vs dense 17.6; T=512 → (128,256) 39.8 vs
-    48.4; T=1024 → (256,256) 58.0 vs 153.8. Training fwd+bwd at T=256:
-    flash(256,256) 16.2 ms vs dense 23.8 (round-3 measurements; the
-    round-1 "flash loses at 256" result was the untuned (128,128)+bwd
-    combination).
+    """(block_q, block_k) choices for the flash kernel, per T.
+
+    Note flash only WINS at T >= FLASH_MIN_T = 1024 — see the r4 in-jit
+    crossover table above `FLASH_MIN_T` below (dense is faster at T=256
+    and T=512; the round-3 numbers that crowned flash at every length
+    carried the ~25 ms tunnel-fetch artifact, scripts/attn_bench.py).
+    These block sizes only matter when the auto policy or `use_flash`
+    actually selects the kernel.
 
     Blocks must DIVIDE T: the kernel's k-loop reads
     `k_ref[pl.ds(k_off, block_k)]` with no tail mask, so a block that

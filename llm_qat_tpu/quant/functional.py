@@ -271,8 +271,8 @@ def fake_quant_flat(x, scale, zero_point, num_bits, kind, symmetric=True,
     x = jnp.asarray(x)
     return _fake_quant_flat_core(
         x,
-        jnp.asarray(scale, x.dtype),
-        jnp.asarray(zero_point, x.dtype),
+        jnp.asarray(scale, jnp.float32),
+        jnp.asarray(zero_point, jnp.float32),
         jnp.asarray(num_bits, jnp.float32),
         jnp.asarray(kind, jnp.float32),
         symmetric,

@@ -218,7 +218,7 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
         )
         drop_rngs = jax.random.split(rng_drop, n_students)
 
-        if getattr(tcfg, "unroll_students", True):
+        if tcfg.unroll_students:
             # Unrolled student micro-steps: no lax.scan carry copies of the
             # full gradient tree between iterations.
             student_loss_sum = jnp.zeros(())

@@ -113,6 +113,9 @@ VARIANTS = {
     "flat-u12-scan-f32cache": dict(linear_impl="flat", scan_unroll=12,
                                    tcfg_unroll_students=False,
                                    tcfg_distill_cache_dtype="float32"),
+    "flat-u12-scan-bf16cache": dict(linear_impl="flat", scan_unroll=12,
+                                    tcfg_unroll_students=False,
+                                    tcfg_distill_cache_dtype="bfloat16"),
     "flat-u12-dense": dict(linear_impl="flat", scan_unroll=12,
                            attention_impl="dense"),
     "flat-u12-scan-dense": dict(linear_impl="flat", scan_unroll=12,
