@@ -939,7 +939,18 @@ class InferenceEngine:
         """input_ids (B, T) numpy/jnp → (B, T + max_new_tokens)."""
         input_ids = jnp.asarray(input_ids)
         B, T0 = input_ids.shape
-        assert B <= self.max_batch and T0 + max_new_tokens <= self.max_len
+        # Host-side capacity enforcement (NOT an assert: on the megakernel
+        # path an append past the cache end is a DMA out of bounds that
+        # aborts the whole TPU backend — the `ops/mega_decode.py` pos < T
+        # contract). The reference's generate likewise stops at
+        # `n_positions` (`models_sp.py:501-505`).
+        if B > self.max_batch:
+            raise ValueError(f"batch {B} exceeds max_batch={self.max_batch}")
+        if T0 + max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({T0}) + max_new_tokens ({max_new_tokens}) exceeds "
+                f"engine max_len={self.max_len}; shorten the request or "
+                f"build the engine with a larger max_len")
         if rng is None:
             rng = jax.random.PRNGKey(0)
         if self.kv_layout == "mega":

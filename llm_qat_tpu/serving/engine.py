@@ -430,7 +430,27 @@ class ContinuousBatchingEngine:
     def submit(self, prompt, max_new_tokens: int = 32, *,
                temperature: float = 1.0, top_k: Optional[int] = None,
                top_p: Optional[float] = None, do_sample: bool = False) -> int:
-        req = Request(next(self._ids), np.asarray(prompt, np.int32),
+        """Queue a request; returns its id.
+
+        Capacity contract: the prompt must leave room for at least one
+        decoded token (`len(prompt) <= max_len - 1`) — beyond that the
+        decode step would append K/V past the cache end, which on the
+        megakernel path is a DMA out of bounds that ABORTS the TPU
+        backend (`ops/mega_decode.py` pos < T contract), not a Python
+        error. Requests whose `prompt + max_new_tokens` exceed capacity
+        are accepted but finish early at the cache limit, mirroring the
+        reference's stop at `n_positions`
+        (`part1_switchable_precision/models_sp.py:501-505`).
+        """
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.ndim != 1:
+            raise ValueError(f"prompt must be 1-D; got shape {prompt.shape}")
+        if len(prompt) > self.max_len - 1:
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds engine capacity "
+                f"(max_len={self.max_len} leaves room for at most "
+                f"{self.max_len - 1} prompt tokens + 1 generated)")
+        req = Request(next(self._ids), prompt,
                       max_new_tokens, temperature=temperature, top_k=top_k,
                       top_p=top_p, do_sample=do_sample)
         self.queue.append(req)
