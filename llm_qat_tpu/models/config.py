@@ -233,6 +233,19 @@ class TrainConfig:
     # subgraph worse than it pays for the removed carry copies) — keep the
     # scan by default.
     unroll_students: bool = False
+    # How the student micro-steps execute inside the jitted train step:
+    #   "scan"   — lax.scan over students, grad-tree carry adds (r3/r4)
+    #   "unroll" — python loop (== unroll_students=True; kept for A/B)
+    #   "vmap"   — ONE batched fwd+bwd over all students: precision/rng/
+    #              layer become a leading (n_students,) axis, every matmul
+    #              turns into one batched MXU dot, and the per-student
+    #              grad accumulation happens INSIDE the backward weight
+    #              contractions (the vmapped axis sums in the dW dots)
+    #              instead of as scan carry adds — attacking the r4 trace's
+    #              ~11 ms of accumulation adds/DUS + the 3x op count
+    #              (docs/RESULTS_R4.md "op-count IS the cost").
+    # None -> "unroll" if unroll_students else "scan".
+    student_mode: Optional[str] = None
     calibration_batches: int = 10  # reference CalibrationManager (`train_sp.py:90-123`)
 
 

@@ -123,6 +123,7 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
                            dtype=jnp.bfloat16,
                            weight_format: str = "dense",
                            lm_head_int8: bool = False,
+                           lm_head_bits: int = None,
                            lora_format: str = "factored") -> Dict[str, Any]:
     """Materialize a single-precision inference param tree.
 
@@ -234,6 +235,24 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
                 # (tiny) matmul per linear.
                 out["lora_A"] = Aq.astype(dtype)
                 out["lora_B"] = (scaling * Bq).astype(dtype)
+                if (q.symmetric and q.kind_name(bits) == "minmax"
+                        and bits <= 8):
+                    # int8 LoRA codes (r5 decode diet): minmax-symmetric
+                    # Aq/Bq sit exactly on the (a_s · ±(2^{b-1}-1)) grid,
+                    # so round(Aq/a_s) recovers the codes LOSSLESSLY and
+                    # `codes.astype(f32) * scale` reproduces Aq bit-for-
+                    # bit. The megakernel streams these at half the bf16
+                    # banks' HBM traffic (~28 MB -> 14 MB per decode step
+                    # at rank 64; the r4 intercept decomposition priced
+                    # the bf16 banks at ~17 µs of the 148 µs fixed cost,
+                    # docs/RESULTS_R4.md). B codes carry the raw Bq grid;
+                    # the lora scaling (alpha/rank) folds into the scale.
+                    out["lora_A_i8"] = jnp.round(
+                        Aq / jnp.maximum(a_s, 1e-12)).astype(jnp.int8)
+                    out["lora_A_s"] = jnp.asarray(a_s, jnp.float32)
+                    out["lora_B_i8"] = jnp.round(
+                        Bq / jnp.maximum(b_s, 1e-12)).astype(jnp.int8)
+                    out["lora_B_s"] = scaling * jnp.asarray(b_s, jnp.float32)
             else:
                 out["lora_AB"] = (scaling * jnp.einsum(
                     "lir,lro->lio", Aq, Bq)).astype(dtype)
@@ -262,7 +281,30 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
         "_bits": jnp.float32(bits),
         "_kind": tables.kind[p_idx],
     }
-    if lm_head_int8:
+    if lm_head_bits is None and lm_head_int8:
+        lm_head_bits = 8
+    if lm_head_bits == 4:
+        # Nibble-packed int4 vocab projection (r5 decode diet): per-row ±7
+        # codes packed in pairs along the CONTRACTION dim d — byte column j
+        # holds lane j in the low nibble and lane j + d/2 in the high, so
+        # `_lm_head` splits the dot into two s8 MXU dots over the matching
+        # activation halves with no lane interleave (same plane packing as
+        # `_int4_dot`). Halves the int8 head's 38.6 MB/step stream (the r4
+        # intercept decomposition priced the int8 head at ~24 µs,
+        # docs/RESULTS_R4.md). Quality cost is measured, not assumed:
+        # scripts/kv_quality.py reports teacher-forced PPL with the int4
+        # head next to the int8/fp ones.
+        wte = params["wte"].astype(jnp.float32)  # (V, d)
+        d_ = wte.shape[1]
+        if d_ % 2:
+            raise ValueError("lm_head_bits=4 needs an even n_embd")
+        amax = jnp.maximum(jnp.max(jnp.abs(wte), axis=1), 1e-8)  # (V,)
+        out["head_s"] = amax / 7.0
+        codes = jnp.clip(jnp.round(wte / out["head_s"][:, None]),
+                         -7, 7).astype(jnp.int8)
+        out["head_i4"] = ((codes[:, :d_ // 2] & 0xF)
+                          | (codes[:, d_ // 2:] << 4)).astype(jnp.int8)
+    elif lm_head_bits == 8:
         # Per-vocab-row int8 codes for the weight-tied projection. The SP
         # model's lm_head is NOT a quantized layer in the reference
         # (`models_sp.py:398` plain weight tying), so this is a deployment
@@ -274,6 +316,8 @@ def quantize_for_inference(params, cfg: SPModelConfig, bits: int,
         out["head_i8"] = jnp.clip(
             jnp.round(wte / out["head_s"][:, None]), -127, 127
         ).astype(jnp.int8)
+    elif lm_head_bits is not None:
+        raise ValueError(f"lm_head_bits must be 8 or 4; got {lm_head_bits}")
     out["_static"] = StaticMeta(
         bits=int(bits),
         kind=int(np.asarray(tables.kind[p_idx])),
@@ -577,9 +621,27 @@ def infer_forward_unrolled(iparams, input_ids, cfg: SPModelConfig, caches,
 def _lm_head(iparams, h):
     """Weight-tied LM head over post-ln_f hidden states (B, S, d).
 
-    Uses the int8 vocab projection when the tree was built with
-    `lm_head_int8=True` (dynamic per-tensor activation scale), else the
+    Uses the int4/int8 vocab projection when the tree was built with
+    `lm_head_bits=4/8` (dynamic per-tensor activation scale), else the
     plain tied `wte.T` dot (reference `models_sp.py:398`)."""
+    if "head_i4" in iparams:
+        hf = h.astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(hf), axis=(1, 2), keepdims=True),
+                           1e-8)
+        xs = amax / 127.0
+        qh = jnp.clip(jnp.round(hf / xs), -127, 127).astype(jnp.int8)
+        p = iparams["head_i4"]  # (V, d/2) bytes, lane-halves plane packing
+        wi = p.astype(jnp.int32)
+        lo = ((wi << 28) >> 28).astype(jnp.int8)  # lanes [0, d/2)
+        hi = (wi >> 4).astype(jnp.int8)           # lanes [d/2, d)
+        d2 = p.shape[1]
+        acc = jax.lax.dot_general(
+            qh[..., :d2], lo, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(
+            qh[..., d2:], hi, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (xs[..., :1] * iparams["head_s"])
     if "head_i8" in iparams:
         hf = h.astype(jnp.float32)
         amax = jnp.maximum(jnp.max(jnp.abs(hf), axis=(1, 2), keepdims=True),
@@ -669,9 +731,11 @@ class InferenceEngine:
     def __init__(self, params, cfg: SPModelConfig, bits: int,
                  max_batch: int = 8, max_len: int = 1024,
                  dtype=jnp.bfloat16, weight_format: str = "dense",
-                 lm_head_int8: bool = False, kv_layout: str = "auto",
+                 lm_head_int8: bool = False, lm_head_bits: int = None,
+                 kv_layout: str = "auto",
                  kv_bits: int = 16, attn_interpret: bool = False,
-                 mega_tbp: int = 64, mega_tiles_per_step: int = 4):
+                 mega_tbp: int = 64, mega_tiles_per_step: int = 4,
+                 mega_lora_int8: bool = True):
         from functools import partial
 
         self.cfg = cfg
@@ -687,7 +751,7 @@ class InferenceEngine:
         self.kv_layout = kv_layout
         self.iparams = quantize_for_inference(
             params, cfg, bits, dtype, weight_format=weight_format,
-            lm_head_int8=lm_head_int8)
+            lm_head_int8=lm_head_int8, lm_head_bits=lm_head_bits)
         # static precision meta closed over by the jitted fns (cond-free path)
         static = self.iparams.pop("_static")
         self.static = static
@@ -716,7 +780,8 @@ class InferenceEngine:
                 raise ValueError(
                     "kv_layout='mega' needs n_embd % 128 == 0 (the kernel "
                     f"tiles (d, d) weight blocks); got {cfg.model.n_embd}")
-            self.mega = pack_mega_weights(self.iparams, cfg)  # validates fmt
+            self.mega = pack_mega_weights(
+                self.iparams, cfg, lora_int8=mega_lora_int8)  # validates fmt
             self._has_lora = "lora_A" in self.iparams["blocks"]["c_attn"]
 
         @jax.jit

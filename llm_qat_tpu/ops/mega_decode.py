@@ -55,6 +55,7 @@ from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -81,8 +82,18 @@ class MegaWeights(NamedTuple):
     #                    `models/inference.py::_int4_dot` layout, per tile)
     ws: jax.Array      # (L, 12, 1, d) f32 per-out-channel dequant scales
     bias: jax.Array    # (L, 12, 1, d) f32 (mlp bias only on tile 11)
-    at: jax.Array      # (L, 12|7, d, r) LoRA A bank (see LORA_BANKS)
-    bt: jax.Array      # (L, 12|9, r, d) LoRA B bank (scaling folded in)
+    at: jax.Array      # (L, 12|7, d, r) LoRA A bank (see LORA_BANKS) —
+    #                    bf16/f32 values, or int8 codes (r5 decode diet:
+    #                    half the bank HBM traffic; per-tile SCALAR scales
+    #                    ride in SMEM and apply to the dot OUTPUT, so the
+    #                    only in-kernel work added is the int8->bf16 tile
+    #                    cast — requires per-tensor LoRA quantization,
+    #                    which is the deployment configuration)
+    bt: jax.Array      # (L, 12|9, r, d) LoRA B bank (scaling folded in —
+    #                    into the values when float, into bt_s when int8)
+    at_s: jax.Array    # (L, 12|7) f32 per-tile scalar A dequant scales
+    #                    (SMEM operand; ones when `at` is float — unused)
+    bt_s: jax.Array    # (L, 12|9) f32 per-tile scalar B dequant scales
     ln: jax.Array      # (L, 4, d) f32: ln1_g, ln1_b, ln2_g, ln2_b
     xs: jax.Array      # (L, 4) f32 static activation scales (qkv,proj,fc,mlp)
 
@@ -117,7 +128,8 @@ def _bt_idx(t):
     return jnp.where(t < 8, t, jnp.where(t < 11, 7, 8))
 
 
-def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
+def pack_mega_weights(iparams: Dict[str, Any], cfg,
+                      lora_int8: bool = True) -> MegaWeights:
     """Build the tiled operand banks from an `int8_xla` or `int4_xla` tree.
 
     Requires `quantize_for_inference(..., weight_format="int8_xla")` (or
@@ -126,6 +138,13 @@ def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
     For int4 trees the whole-matrix K-halves packing is re-tiled into
     PER-TILE K-halves packing so each (d, d) weight tile streams as a
     (d/2, d) byte block (half the int8 path's weight HBM traffic).
+
+    lora_int8 (default True): when the tree carries `lora_A_i8` codes
+    (minmax-symmetric <=8-bit slots emit them losslessly), the LoRA banks
+    stream as int8 + per-column f32 scales at half the bf16 traffic; the
+    kernel dequantizes per tile and reproduces the bf16-bank dots
+    bit-for-bit (`_mega_kernel` lora helpers). False keeps float banks
+    (A/B measurement switch).
     """
     m = cfg.model
     d, ff = m.n_embd, 4 * m.n_embd
@@ -200,32 +219,73 @@ def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
         axis=1)[:, :, None, :]
 
     has_lora = "lora_A" in qkv
+    # int8 LoRA banks need PER-TENSOR lora scales (one scalar per tile,
+    # carried in SMEM next to xs — adding per-column scale streams to the
+    # grid measured SLOWER than the traffic saved, the same lesson as the
+    # r4 compact-banks experiment); per-channel trees keep float banks.
+    use_i8 = bool(lora_int8 and has_lora and "lora_A_i8" in qkv
+                  and np.asarray(qkv["lora_A_s"]).size == L
+                  and np.asarray(qkv["lora_B_s"]).size == L)
+    akey, bkey = ("lora_A_i8", "lora_B_i8") if use_i8 else ("lora_A",
+                                                           "lora_B")
     if has_lora:
+        r = qkv[akey].shape[2]
+        ldt = qkv[akey].dtype
+
+        def sc(lin, key):  # (L,) per-tensor scalar scale
+            return jnp.asarray(lin[key], jnp.float32).reshape(L)
+
         if LORA_BANKS == "full":
-            r = qkv["lora_A"].shape[2]
-            ldt = qkv["lora_A"].dtype
             za = jnp.zeros((L, d, r), ldt)
             zb = jnp.zeros((L, r, d), ldt)
             at = jnp.stack(
-                [qkv["lora_A"], za, za, proj["lora_A"], fc["lora_A"],
-                 za, za, za] + tiles_in(mlp["lora_A"]), axis=1)
+                [qkv[akey], za, za, proj[akey], fc[akey],
+                 za, za, za] + tiles_in(mlp[akey]), axis=1)
             bt = jnp.stack(
-                tiles_out(qkv["lora_B"]) + [proj["lora_B"]]
-                + tiles_out(fc["lora_B"]) + [zb, zb, zb, mlp["lora_B"]],
+                tiles_out(qkv[bkey]) + [proj[bkey]]
+                + tiles_out(fc[bkey]) + [zb, zb, zb, mlp[bkey]],
                 axis=1)
+            if use_i8:
+                one = jnp.ones((L,), jnp.float32)
+                a_q, a_p, a_f, a_m = (sc(qkv, "lora_A_s"),
+                                      sc(proj, "lora_A_s"),
+                                      sc(fc, "lora_A_s"),
+                                      sc(mlp, "lora_A_s"))
+                b_q, b_p, b_f, b_m = (sc(qkv, "lora_B_s"),
+                                      sc(proj, "lora_B_s"),
+                                      sc(fc, "lora_B_s"),
+                                      sc(mlp, "lora_B_s"))
+                at_s = jnp.stack([a_q, one, one, a_p, a_f, one, one, one,
+                                  a_m, a_m, a_m, a_m], axis=1)
+                bt_s = jnp.stack([b_q, b_q, b_q, b_p, b_f, b_f, b_f, b_f,
+                                  one, one, one, b_m], axis=1)
         else:
             # compact banks (see _AT_MAP/_BT_MAP): every stored tile is read
             at = jnp.stack(
-                [qkv["lora_A"], proj["lora_A"], fc["lora_A"]]
-                + tiles_in(mlp["lora_A"]), axis=1)
+                [qkv[akey], proj[akey], fc[akey]]
+                + tiles_in(mlp[akey]), axis=1)
             bt = jnp.stack(
-                tiles_out(qkv["lora_B"]) + [proj["lora_B"]]
-                + tiles_out(fc["lora_B"]) + [mlp["lora_B"]], axis=1)
+                tiles_out(qkv[bkey]) + [proj[bkey]]
+                + tiles_out(fc[bkey]) + [mlp[bkey]], axis=1)
+            if use_i8:
+                at_s = jnp.stack(
+                    [sc(qkv, "lora_A_s"), sc(proj, "lora_A_s"),
+                     sc(fc, "lora_A_s")] + [sc(mlp, "lora_A_s")] * 4,
+                    axis=1)
+                bt_s = jnp.stack(
+                    [sc(qkv, "lora_B_s")] * 3 + [sc(proj, "lora_B_s")]
+                    + [sc(fc, "lora_B_s")] * 4 + [sc(mlp, "lora_B_s")],
+                    axis=1)
     else:
         r = 8
         n_at, n_bt = (12, 12) if LORA_BANKS == "full" else (7, 9)
         at = jnp.zeros((L, n_at, d, r), jnp.bfloat16)
         bt = jnp.zeros((L, n_bt, r, d), jnp.bfloat16)
+    if not use_i8:
+        # float banks carry their values directly; scalar scale banks are
+        # unused (SMEM residents, a few hundred bytes)
+        at_s = jnp.ones((L, at.shape[1]), jnp.float32)
+        bt_s = jnp.ones((L, bt.shape[1]), jnp.float32)
 
     ln = jnp.stack(
         [jnp.asarray(iparams["blocks"]["ln1"]["g"], jnp.float32),
@@ -237,7 +297,8 @@ def pack_mega_weights(iparams: Dict[str, Any], cfg) -> MegaWeights:
         [jnp.asarray(lin["x_s"], jnp.float32).reshape(L)
          for lin in (qkv, proj, fc, mlp)], axis=1)
 
-    return MegaWeights(wt=wt, ws=ws, bias=bias, at=at, bt=bt, ln=ln, xs=xs)
+    return MegaWeights(wt=wt, ws=ws, bias=bias, at=at, bt=bt, at_s=at_s,
+                       bt_s=bt_s, ln=ln, xs=xs)
 
 
 def _ln_f32(x, g, b, eps):
@@ -265,17 +326,21 @@ def _gelu_exact(x):
 
 
 def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
-                 at_ref, bt_ref, ln_ref, kc_in, vc_in,
+                 at_ref, bt_ref, ats_ref, bts_ref, ln_ref, kc_in, vc_in,
                  o_ref, kc, vc,
                  qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
                  kbuf, vbuf, rmwk, rmwv, sem, rsem,
                  *, eps, sm_scale, tbp, B, H, has_lora, act_dtype,
-                 wbits=8, aq_max=127.0, tpg=1):
+                 wbits=8, aq_max=127.0, tpg=1, lora_i8=False):
     """Grid (n_layer, 12); one (d, d) weight tile per step (see module doc).
 
     wbits=4: `wt` tiles are (d/2, d) nibble-packed (per-tile K-halves);
     the dot splits into two s8 MXU dots over the activation-code halves.
-    aq_max: activation code clamp (127 for A8, 7 for A4)."""
+    aq_max: activation code clamp (127 for A8, 7 for A4).
+    lora_i8: at/bt hold int8 codes; each tile dequantizes in-VMEM with the
+    ats/bts per-column scales to the SAME float values the bf16 banks held
+    (lossless on the minmax grid), so the dots are bit-identical at half
+    the bank stream traffic."""
     del kc_in, vc_in  # aliased to kc/vc
     l = pl.program_id(0)
     t_step = pl.program_id(1)
@@ -307,6 +372,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
     # schedule's per-grid-step fixed cost dominated the decode budget
     # (docs/RESULTS_R4.md); the python loop replays the original
     # per-tile body once per sub-tile with `t` the global tile index.
+    ldt_t = jnp.bfloat16 if act_dtype != jnp.float32 else jnp.float32
     for _sub in range(tpg):
         t = t_step * tpg + _sub
         w_tile = wt_ref[0, _sub]           # (d, d) int8 — or (d/2, d) packed int4
@@ -334,8 +400,26 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
             return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.int32)
 
+        def lora_a(x):
+            # int8 banks: cast codes to the compute dtype (integers <=127
+            # are exact in bf16) and apply the per-tile SCALAR scale to the
+            # (B, r) OUTPUT — the only added work vs float banks is the
+            # tile cast; the scale rides in SMEM (no extra grid streams)
+            am = at_ref[0, _sub]
+            if lora_i8:
+                xa = jnp.dot(x.astype(ldt_t), am.astype(ldt_t),
+                             preferred_element_type=jnp.float32)
+                return xa * ats_ref[l, _at_idx(t)]
+            return jnp.dot(x.astype(am.dtype), am,
+                           preferred_element_type=jnp.float32)
+
         def lora_b(xa):
-            return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, _sub],
+            bm = bt_ref[0, _sub]
+            if lora_i8:
+                o = jnp.dot(xa.astype(ldt_t), bm.astype(ldt_t),
+                            preferred_element_type=jnp.float32)
+                return o * bts_ref[l, _bt_idx(t)]
+            return jnp.dot(xa.astype(bm.dtype), bm,
                            preferred_element_type=jnp.float32)
 
         # ---- t == 0..2: LN1 + qkv out-tile --------------------------------
@@ -346,8 +430,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
             qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
             if has_lora:
                 # xa for the qkv phase; parked in xam_s row 0 until t==2
-                xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, _sub],
-                                   preferred_element_type=jnp.float32)
+                xam_s[0] = lora_a(hn)
 
         @pl.when(t < 3)
         def _():
@@ -474,9 +557,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
             proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
                     * (xs_ref[l, 1] * w_s) + b_t)
             if has_lora:
-                xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, _sub],
-                             preferred_element_type=jnp.float32)
-                proj = proj + lora_b(xa)
+                proj = proj + lora_b(lora_a(attn2d))
             h1 = _rt(o_ref[:] + _rt(proj))
             o_ref[:] = h1
             hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
@@ -487,8 +568,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
         def _():
             qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
             if has_lora:
-                xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, _sub],
-                                   preferred_element_type=jnp.float32)
+                xam_s[0] = lora_a(hn2_s[:])
 
         @pl.when((t >= 4) & (t < 8))
         def _():
@@ -504,8 +584,7 @@ def _mega_kernel(pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
             g_chunk = g_s[t - 8]
             part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
             if has_lora:
-                xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, _sub],
-                              preferred_element_type=jnp.float32)
+                xam = lora_a(g_chunk)
 
             @pl.when(t == 8)
             def _():
@@ -578,10 +657,11 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
         raise ValueError(
             f"tiles_per_step={tpg} must divide {N_TILES} and requires "
             "LORA_BANKS='full' (compact index maps are per single tile)")
+    lora_i8 = mw.at.dtype == jnp.int8
     kernel = functools.partial(
         _mega_kernel, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
         has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
-        wbits=wbits, aq_max=float(aq_max), tpg=tpg)
+        wbits=wbits, aq_max=float(aq_max), tpg=tpg, lora_i8=lora_i8)
 
     grid = (L, N_TILES // tpg)
     out, kc, vc = pl.pallas_call(
@@ -608,6 +688,8 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
                          lambda l, t: (l, t if tpg > 1 else _bt_idx(t),
                                        0, 0),
                          memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # at_s (L, NT)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # bt_s (L, NT)
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln
             pl.BlockSpec(memory_space=pltpu.ANY),             # kc
@@ -638,11 +720,13 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        input_output_aliases={10: 1, 11: 2},
+        input_output_aliases={12: 1, 13: 2},
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1), mw.xs,
       h.astype(jnp.float32), hm, mw.wt, mw.ws, mw.bias,
-      mw.at.astype(ldt), mw.bt.astype(ldt), mw.ln, k_cache, v_cache)
+      mw.at if lora_i8 else mw.at.astype(ldt),
+      mw.bt if lora_i8 else mw.bt.astype(ldt),
+      mw.at_s, mw.bt_s, mw.ln, k_cache, v_cache)
 
     return out, kc, vc
 
@@ -656,7 +740,7 @@ def mega_decode_step(h, mw: MegaWeights, k_cache, v_cache, pos, *,
 def _mega_kernel_kv8(*refs,
                      eps, sm_scale, tbp, B, H, has_lora, act_dtype,
                      wbits=8, aq_max=127.0, kv_bits=8, per_slot=False,
-                     tpg=1):
+                     tpg=1, lora_i8=False):
     """`_mega_kernel` with the KV cache in int8 (KV8 of the reference's
     W-A-KV configs, `part3_eval_sp/bit_configurations.py`): codes (L,B,T,d)
     int8 + per-row scales (L,B,T) f32. The attention dots run s8xs8->s32 on
@@ -691,7 +775,8 @@ def _mega_kernel_kv8(*refs,
     """
     if per_slot:
         (pos_ref, maxpos_ref, rpos_ref, xs_ref, h_ref, hm_ref, wt_ref,
-         ws_ref, bias_ref, at_ref, bt_ref, ln_ref, kcm, vcm, kscm, vscm,
+         ws_ref, bias_ref, at_ref, bt_ref, ats_ref, bts_ref, ln_ref,
+         kcm, vcm, kscm, vscm,
          kc_in, vc_in, ks_in, vs_in,
          o_ref, kc, vc, ksc, vsc,
          qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
@@ -701,7 +786,8 @@ def _mega_kernel_kv8(*refs,
         pos = rpos_ref[0]  # uniform position within the RECENT buffer
     else:
         (pos_ref, xs_ref, h_ref, hm_ref, wt_ref, ws_ref, bias_ref,
-         at_ref, bt_ref, ln_ref, kc_in, vc_in, ks_in, vs_in,
+         at_ref, bt_ref, ats_ref, bts_ref, ln_ref, kc_in, vc_in, ks_in,
+         vs_in,
          o_ref, kc, vc, ksc, vsc,
          qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
          kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
@@ -727,6 +813,7 @@ def _mega_kernel_kv8(*refs,
     # schedule's per-grid-step fixed cost dominated the decode budget
     # (docs/RESULTS_R4.md); the python loop replays the original
     # per-tile body once per sub-tile with `t` the global tile index.
+    ldt_t = jnp.bfloat16 if act_dtype != jnp.float32 else jnp.float32
     for _sub in range(tpg):
         t = t_step * tpg + _sub
         w_tile = wt_ref[0, _sub]
@@ -754,8 +841,26 @@ def _mega_kernel_kv8(*refs,
             return jax.lax.dot_general(qx, w_tile, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.int32)
 
+        def lora_a(x):
+            # int8 banks: cast codes to the compute dtype (integers <=127
+            # are exact in bf16) and apply the per-tile SCALAR scale to the
+            # (B, r) OUTPUT — the only added work vs float banks is the
+            # tile cast; the scale rides in SMEM (no extra grid streams)
+            am = at_ref[0, _sub]
+            if lora_i8:
+                xa = jnp.dot(x.astype(ldt_t), am.astype(ldt_t),
+                             preferred_element_type=jnp.float32)
+                return xa * ats_ref[l, _at_idx(t)]
+            return jnp.dot(x.astype(am.dtype), am,
+                           preferred_element_type=jnp.float32)
+
         def lora_b(xa):
-            return jnp.dot(xa.astype(bt_ref.dtype), bt_ref[0, _sub],
+            bm = bt_ref[0, _sub]
+            if lora_i8:
+                o = jnp.dot(xa.astype(ldt_t), bm.astype(ldt_t),
+                            preferred_element_type=jnp.float32)
+                return o * bts_ref[l, _bt_idx(t)]
+            return jnp.dot(xa.astype(bm.dtype), bm,
                            preferred_element_type=jnp.float32)
 
         @pl.when(t == 0)
@@ -764,8 +869,7 @@ def _mega_kernel_kv8(*refs,
                              eps))
             qx_s[:] = _q8(hn, xs_ref[l, 0], aq_max)
             if has_lora:
-                xam_s[0] = jnp.dot(hn.astype(at_ref.dtype), at_ref[0, _sub],
-                                   preferred_element_type=jnp.float32)
+                xam_s[0] = lora_a(hn)
 
         @pl.when(t < 3)
         def _():
@@ -996,9 +1100,7 @@ def _mega_kernel_kv8(*refs,
             proj = (i8dot(_q8(attn2d, xs_ref[l, 1], aq_max)).astype(jnp.float32)
                     * (xs_ref[l, 1] * w_s) + b_t)
             if has_lora:
-                xa = jnp.dot(attn2d.astype(at_ref.dtype), at_ref[0, _sub],
-                             preferred_element_type=jnp.float32)
-                proj = proj + lora_b(xa)
+                proj = proj + lora_b(lora_a(attn2d))
             h1 = _rt(o_ref[:] + _rt(proj))
             o_ref[:] = h1
             hn2_s[:] = _rt(_ln_f32(h1, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :],
@@ -1008,8 +1110,7 @@ def _mega_kernel_kv8(*refs,
         def _():
             qx_s[:] = _q8(hn2_s[:], xs_ref[l, 2], aq_max)
             if has_lora:
-                xam_s[0] = jnp.dot(hn2_s[:].astype(at_ref.dtype), at_ref[0, _sub],
-                                   preferred_element_type=jnp.float32)
+                xam_s[0] = lora_a(hn2_s[:])
 
         @pl.when((t >= 4) & (t < 8))
         def _():
@@ -1024,8 +1125,7 @@ def _mega_kernel_kv8(*refs,
             g_chunk = g_s[t - 8]
             part_dot = i8dot(_q8(g_chunk, xs_ref[l, 3], aq_max))
             if has_lora:
-                xam = jnp.dot(g_chunk.astype(at_ref.dtype), at_ref[0, _sub],
-                              preferred_element_type=jnp.float32)
+                xam = lora_a(g_chunk)
 
             @pl.when(t == 8)
             def _():
@@ -1096,10 +1196,12 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
         raise ValueError(
             f"tiles_per_step={tpg} must divide {N_TILES} and requires "
             "LORA_BANKS='full' (compact index maps are per single tile)")
+    lora_i8 = mw.at.dtype == jnp.int8
     kernel = functools.partial(
         _mega_kernel_kv8, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
         has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
-        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits, tpg=tpg)
+        wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits, tpg=tpg,
+        lora_i8=lora_i8)
 
     grid = (L, N_TILES // tpg)
     out, kc, vc, ks, vs = pl.pallas_call(
@@ -1126,6 +1228,8 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
                          lambda l, t: (l, t if tpg > 1 else _bt_idx(t),
                                        0, 0),
                          memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # at_s (L, NT)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # bt_s (L, NT)
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln
             pl.BlockSpec(memory_space=pltpu.ANY),             # kc
@@ -1168,11 +1272,13 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
             pltpu.SemaphoreType.DMA((2,)),         # rsem
             pltpu.SemaphoreType.DMA((2,)),         # rssem
         ],
-        input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
+        input_output_aliases={12: 1, 13: 2, 14: 3, 15: 4},
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1), mw.xs,
       h.astype(jnp.float32), hm, mw.wt, mw.ws, mw.bias,
-      mw.at.astype(ldt), mw.bt.astype(ldt), mw.ln,
+      mw.at if lora_i8 else mw.at.astype(ldt),
+      mw.bt if lora_i8 else mw.bt.astype(ldt),
+      mw.at_s, mw.bt_s, mw.ln,
       k_cache, v_cache, k_scale, v_scale)
 
     return out, kc, vc, ks, vs
@@ -1234,11 +1340,12 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
         raise ValueError(
             f"tiles_per_step={tpg} must divide {N_TILES} and requires "
             "LORA_BANKS='full' (compact index maps are per single tile)")
+    lora_i8 = mw.at.dtype == jnp.int8
     kernel = functools.partial(
         _mega_kernel_kv8, eps=eps, sm_scale=sm_scale, tbp=tbp, B=B, H=H,
         has_lora=has_lora, act_dtype=jnp.dtype(act_dtype).type,
         wbits=wbits, aq_max=float(aq_max), kv_bits=kv_bits, per_slot=True,
-        tpg=tpg)
+        tpg=tpg, lora_i8=lora_i8)
 
     grid = (L, N_TILES // tpg)
     out, kr, vr, ksr, vsr = pl.pallas_call(
@@ -1267,6 +1374,8 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
                          lambda l, t: (l, t if tpg > 1 else _bt_idx(t),
                                        0, 0),
                          memory_space=pltpu.VMEM),            # bt
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # at_s (L, NT)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # bt_s (L, NT)
             pl.BlockSpec((1, 4, d), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # ln
             pl.BlockSpec(memory_space=pltpu.ANY),             # k_main (ro)
@@ -1313,11 +1422,13 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
             pltpu.SemaphoreType.DMA((2,)),         # rsem
             pltpu.SemaphoreType.DMA((2,)),         # rssem
         ],
-        input_output_aliases={16: 1, 17: 2, 18: 3, 19: 4},
+        input_output_aliases={18: 1, 19: 2, 20: 3, 21: 4},
         interpret=interpret,
     )(lengths, maxpos, jnp.asarray(rpos, jnp.int32).reshape(1), mw.xs,
       h.astype(jnp.float32), hm, mw.wt, mw.ws, mw.bias,
-      mw.at.astype(ldt), mw.bt.astype(ldt), mw.ln,
+      mw.at if lora_i8 else mw.at.astype(ldt),
+      mw.bt if lora_i8 else mw.bt.astype(ldt),
+      mw.at_s, mw.bt_s, mw.ln,
       k_main, v_main, ks_main, vs_main, k_rec, v_rec, ks_rec, vs_rec)
 
     return out, kr, vr, ksr, vsr

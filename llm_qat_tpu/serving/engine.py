@@ -180,6 +180,7 @@ class ContinuousBatchingEngine:
                  n_slots: int = 8, max_len: int = 512,
                  eos_token_id: Optional[int] = None, dtype=jnp.bfloat16,
                  weight_format: str = "dense", lm_head_int8: bool = False,
+                 lm_head_bits: Optional[int] = None,
                  kv_layout: str = "auto", kv_bits: int = 8,
                  mega_tbp: int = 64, attn_interpret: bool = False,
                  rng=None):
@@ -198,7 +199,7 @@ class ContinuousBatchingEngine:
         packed = kv_layout == "packed" and kv_pack > 1
         self.iparams = quantize_for_inference(
             params, cfg, bits, dtype, weight_format=weight_format,
-            lm_head_int8=lm_head_int8)
+            lm_head_int8=lm_head_int8, lm_head_bits=lm_head_bits)
         self.static = self.iparams.pop("_static")
 
         self.caches = init_layer_caches(cfg, n_slots, self.max_len, dtype,

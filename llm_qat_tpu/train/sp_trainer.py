@@ -218,7 +218,9 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
         )
         drop_rngs = jax.random.split(rng_drop, n_students)
 
-        if tcfg.unroll_students:
+        mode = tcfg.student_mode or (
+            "unroll" if tcfg.unroll_students else "scan")
+        if mode == "unroll":
             # Unrolled student micro-steps: no lax.scan carry copies of the
             # full gradient tree between iterations.
             student_loss_sum = jnp.zeros(())
@@ -229,7 +231,25 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
                 )
                 grads = jax.tree.map(jnp.add, grads, g)
                 student_loss_sum = student_loss_sum + loss
-        else:
+        elif mode == "vmap":
+            # ONE batched fwd+bwd for all students: the (n_students,)
+            # precision/rng/layer axis rides through the forward as a
+            # batched bank gather + batched matmuls, and grad(sum(losses))
+            # accumulates the per-student dW INSIDE the backward weight
+            # contractions (the vmap axis is a contraction dim of each dW
+            # dot) — no grad-tree carries, ~1/n_students the op count.
+            # Same math as the scan: sum of per-student losses/grads.
+            def total_student_loss(params):
+                losses = jax.vmap(
+                    lambda prec, drng, li: student_loss_fn(
+                        params, ids, prec, drng, li, teacher)
+                )(precs, drop_rngs, layers)
+                return jnp.sum(losses)
+
+            student_loss_sum, g = jax.value_and_grad(total_student_loss)(
+                state.params)
+            grads = jax.tree.map(jnp.add, grads, g)
+        elif mode == "scan":
             def body(carry, xs):
                 g_acc, loss_acc = carry
                 prec, layer_idx, drng = xs
@@ -242,6 +262,9 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
             (grads, student_loss_sum), _ = jax.lax.scan(
                 body, (grads, jnp.zeros(())), (precs, layers, drop_rngs)
             )
+        else:
+            raise ValueError(
+                f"student_mode must be scan/unroll/vmap; got {mode!r}")
 
         masked_opt = _masked_opt(state.params)
         updates, opt_state = masked_opt.update(

@@ -87,17 +87,33 @@ def run(label, **kw):
         ts.append(time.perf_counter() - t1)
         made = int(np.sum(eng.gen_counts)) - before
         assert made == SLOTS * BIG, (made, SLOTS * BIG)
-    dchunk = float(np.median(ts))
+    # One step_chunk call = one dispatch + one host sync, which through
+    # the axon tunnel carries the fixed ~25-30 ms roundtrip (the r4
+    # methodology artifact — scripts/_tunnel.py). r4's "11.4k steady-
+    # state" number did NOT subtract it, overstating the CB-vs-single-
+    # stream gap ~3x; report both.
+    from _tunnel import fetch_baseline_s
+
+    fetch = fetch_baseline_s()
+    raw = float(np.median(ts))
+    dchunk = max(raw - fetch, 1e-9)
     ss = SLOTS * BIG / dchunk
     print(f"{label}: e2e {total/dt:,.0f} tok/s ({dt:.2f}s, link-bound) | "
           f"steady-state decode {ss:,.0f} tok/s "
-          f"({dchunk/BIG*1e6:.0f} us/step @B={SLOTS})", flush=True)
+          f"({dchunk/BIG*1e6:.0f} us/step @B={SLOTS}; "
+          f"raw-with-dispatch {SLOTS*BIG/raw:,.0f} tok/s, "
+          f"fetch {fetch*1e3:.1f} ms)", flush=True)
     return ss
 
 
 if __name__ == "__main__":
-    run("packed (r3 path)   ", weight_format="int8_xla", kv_layout="packed")
-    run("mega  W8 KV8 (r4)  ", weight_format="int8_xla", kv_layout="mega",
-        kv_bits=8)
-    run("mega  W4 KV4 (r4)  ", bits=4, weight_format="int4_xla",
-        kv_layout="mega", kv_bits=4)
+    if len(sys.argv) > 3 and sys.argv[3] == "quick":
+        run("mega  W4 KV4 (r4)  ", bits=4, weight_format="int4_xla",
+            kv_layout="mega", kv_bits=4)
+    else:
+        run("packed (r3 path)   ", weight_format="int8_xla",
+            kv_layout="packed")
+        run("mega  W8 KV8 (r4)  ", weight_format="int8_xla",
+            kv_layout="mega", kv_bits=8)
+        run("mega  W4 KV4 (r4)  ", bits=4, weight_format="int4_xla",
+            kv_layout="mega", kv_bits=4)

@@ -46,11 +46,12 @@ prompt = jnp.asarray(rng.integers(0, 50257, (B, PROMPT)))
 T_all = -(-(PROMPT + NEW) // 32) * 32
 
 
-def bench(wf, bits, kvb, label, tbp=64):
+def bench(wf, bits, kvb, label, tbp=64, lm_head_bits=8, lora_int8=True):
     eng = InferenceEngine(params, cfg, bits=bits, max_batch=B,
                           max_len=PROMPT + NEW, weight_format=wf,
-                          lm_head_int8=True, kv_layout="mega", kv_bits=kvb,
-                          mega_tbp=tbp)
+                          lm_head_bits=lm_head_bits, kv_layout="mega",
+                          kv_bits=kvb, mega_tbp=tbp,
+                          mega_lora_int8=lora_int8)
     caches = init_layer_caches(cfg, B, T_all, jnp.bfloat16, kv_layout="dense")
     logits, caches, _ = eng._prefill(eng.iparams, prompt, caches)
     l0 = logits[:, -1]
@@ -87,11 +88,22 @@ def bench(wf, bits, kvb, label, tbp=64):
     return toks, B * NEW / med
 
 
-t16, _ = bench("int8_xla", 8, 16, "W8 KV16")
-t8, _ = bench("int8_xla", 8, 8, "W8 KV8 ")
-t84, _ = bench("int8_xla", 8, 4, "W8 KV4 ")
-t4, _ = bench("int4_xla", 4, 16, "W4 KV16")
-t44, _ = bench("int4_xla", 4, 8, "W4 KV8 ")
-t444, _ = bench("int4_xla", 4, 4, "W4 KV4 ")
-print("W8 token agreement KV8 vs KV16:", float((t16 == t8).mean()), flush=True)
-print("W8 token agreement KV4 vs KV16:", float((t16 == t84).mean()), flush=True)
+if len(sys.argv) > 3 and sys.argv[3] == "diet":
+    # r5 stream-diet A/B on the headline config: int8 LoRA banks (−14 MB)
+    # and the int4 LM head (−19 MB) against the r4 defaults
+    bench("int4_xla", 4, 4, "W4 KV4 bf16lora head8", lm_head_bits=8,
+          lora_int8=False)
+    bench("int4_xla", 4, 4, "W4 KV4 i8lora   head8", lm_head_bits=8)
+    bench("int4_xla", 4, 4, "W4 KV4 i8lora   head4", lm_head_bits=4)
+    bench("int4_xla", 4, 8, "W4 KV8 i8lora   head4", lm_head_bits=4)
+else:
+    t16, _ = bench("int8_xla", 8, 16, "W8 KV16")
+    t8, _ = bench("int8_xla", 8, 8, "W8 KV8 ")
+    t84, _ = bench("int8_xla", 8, 4, "W8 KV4 ")
+    t4, _ = bench("int4_xla", 4, 16, "W4 KV16")
+    t44, _ = bench("int4_xla", 4, 8, "W4 KV8 ")
+    t444, _ = bench("int4_xla", 4, 4, "W4 KV4 ")
+    print("W8 token agreement KV8 vs KV16:", float((t16 == t8).mean()),
+          flush=True)
+    print("W8 token agreement KV4 vs KV16:", float((t16 == t84).mean()),
+          flush=True)

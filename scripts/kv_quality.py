@@ -133,10 +133,15 @@ def main():
             logits, tgt[..., None], axis=-1)[..., 0]
         return float(np.exp(nll.mean()))
 
-    # teacher-forced PPL through the megakernel at each KV width
-    def mega_ppl(bits, wf, kvb):
+    # teacher-forced PPL through the megakernel at each KV width;
+    # head_bits quantizes the LM head (r5 decode diet: the int4 head's
+    # quality cost is measured here, not assumed)
+    def mega_ppl(bits, wf, kvb, head_bits=None):
+        from llm_qat_tpu.models.inference import _lm_head
+
         ip = quantize_for_inference(params, cfg, bits, jnp.float32,
-                                    weight_format=wf, lm_head_int8=False)
+                                    weight_format=wf, lm_head_int8=False,
+                                    lm_head_bits=head_bits)
         ip.pop("_static")
         mw = pack_mega_weights(ip, cfg)
         B, T = held.shape
@@ -169,8 +174,11 @@ def main():
                 var = jnp.mean(jnp.square(h_out - mean), -1, keepdims=True)
                 hn = g * (h_out - mean) * jax.lax.rsqrt(
                     var + m.layer_norm_epsilon) + b_
-                logits = jnp.dot(hn, ip["wte"].T.astype(hn.dtype),
-                                 preferred_element_type=jnp.float32)
+                if head_bits is not None:
+                    logits = _lm_head(ip, hn[:, None, :])[:, 0]
+                else:
+                    logits = jnp.dot(hn, ip["wte"].T.astype(hn.dtype),
+                                     preferred_element_type=jnp.float32)
                 return caches, logits
 
             if kvb == 16:
@@ -197,6 +205,10 @@ def main():
         "W8A8KV4": round(mega_ppl(8, "int8_xla", 4), 3),
         "W4A8KV8": round(mega_ppl(4, "int4_xla", 8), 3),
         "W4A8KV4": round(mega_ppl(4, "int4_xla", 4), 3),
+        # r5 decode-diet head quantization: PPL cost of the int8/int4
+        # vocab projection on the headline config
+        "W4A8KV4_head8": round(mega_ppl(4, "int4_xla", 4, head_bits=8), 3),
+        "W4A8KV4_head4": round(mega_ppl(4, "int4_xla", 4, head_bits=4), 3),
     }
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(results, indent=2))

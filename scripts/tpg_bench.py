@@ -25,14 +25,24 @@ TC = -(-(P0 + STEPS) // 64) * 64
 rng = np.random.default_rng(0)
 
 
-def build_mw(wbits):
+def build_mw(wbits, lora_i8=False):
     dk = d if wbits == 8 else d // 2
+    if lora_i8:
+        at = jnp.asarray(rng.integers(-127, 127, (L, 12, d, r)), jnp.int8)
+        bt = jnp.asarray(rng.integers(-127, 127, (L, 12, r, d)), jnp.int8)
+    else:
+        at = jnp.asarray(rng.random((L, 12, d, r)) * 0.02 - 0.01,
+                         jnp.bfloat16)
+        bt = jnp.asarray(rng.random((L, 12, r, d)) * 0.02 - 0.01,
+                         jnp.bfloat16)
     return MegaWeights(
         wt=jnp.asarray(rng.integers(-120, 120, (L, 12, dk, d)), jnp.int8),
         ws=jnp.asarray(rng.random((L, 12, 1, d)) * 1e-3 + 1e-4, jnp.float32),
         bias=jnp.zeros((L, 12, 1, d), jnp.float32),
-        at=jnp.asarray(rng.random((L, 12, d, r)) * 0.02 - 0.01, jnp.bfloat16),
-        bt=jnp.asarray(rng.random((L, 12, r, d)) * 0.02 - 0.01, jnp.bfloat16),
+        at=at,
+        bt=bt,
+        at_s=jnp.full((L, 12), 1e-4, jnp.float32),
+        bt_s=jnp.full((L, 12), 1e-4, jnp.float32),
         ln=jnp.asarray(np.concatenate([
             np.ones((L, 1, d)), np.zeros((L, 1, d)),
             np.ones((L, 1, d)), np.zeros((L, 1, d))], axis=1), jnp.float32),

@@ -121,6 +121,21 @@ VARIANTS = {
     "flat-u12-scan-dense": dict(linear_impl="flat", scan_unroll=12,
                                 attention_impl="dense",
                                 tcfg_unroll_students=False),
+    # r5: students batched into ONE vmapped fwd+bwd (grad accumulation
+    # inside the backward contractions)
+    "flat-u12-vmap-dense": dict(linear_impl="flat", scan_unroll=12,
+                                attention_impl="dense",
+                                tcfg_student_mode="vmap"),
+    "flat-u12-vmap-dense-bf16c": dict(linear_impl="flat", scan_unroll=12,
+                                      attention_impl="dense",
+                                      tcfg_student_mode="vmap",
+                                      tcfg_distill_cache_dtype="bfloat16"),
+    "flat-u4-vmap-dense": dict(linear_impl="flat", scan_unroll=4,
+                               attention_impl="dense",
+                               tcfg_student_mode="vmap"),
+    "flat-vmap-dense": dict(linear_impl="flat",
+                            attention_impl="dense",
+                            tcfg_student_mode="vmap"),
 }
 
 if __name__ == "__main__":

@@ -277,6 +277,18 @@ class TestEngineIntegration:
                                      do_sample=False))
         np.testing.assert_array_equal(b, a)
 
+    def test_int4_head_matches_dense(self):
+        """r5 decode diet: nibble-packed int4 LM head — mega == dense
+        token-for-token (both engines share the `_lm_head` int4 path)."""
+        cfg, dense, mega = self._engines(lm_head_bits=4)
+        rng = np.random.default_rng(4)
+        prompt = rng.integers(0, cfg.model.vocab_size, (3, 7))
+        a = np.asarray(dense.generate(prompt, max_new_tokens=5,
+                                      do_sample=False))
+        b = np.asarray(mega.generate(prompt, max_new_tokens=5,
+                                     do_sample=False))
+        np.testing.assert_array_equal(b, a)
+
     def test_rejects_unpadded_width(self):
         from llm_qat_tpu.models.inference import InferenceEngine
 
@@ -293,6 +305,112 @@ class TestEngineIntegration:
         with pytest.raises(ValueError, match="128"):
             InferenceEngine(params, cfg, bits=8, weight_format="int8_xla",
                             kv_layout="mega", dtype=jnp.float32)
+
+
+def test_int8_lora_banks_match_float():
+    """r5 decode diet: int8 LoRA banks (codes + per-tile scalar scales in
+    SMEM, half the bank HBM traffic). The codes re-grid losslessly
+    (`quantize_for_inference` emits `lora_A_i8` only on the minmax grid);
+    the kernel applies the scale AFTER the dot, so outputs agree with the
+    float banks to f32 rounding (not bit-exact — the products round at a
+    different point)."""
+    cfg, iparams, static = _setup(rank=4)
+    m = cfg.model
+    assert "lora_A_i8" in iparams["blocks"]["c_attn"]
+    mw_f = pack_mega_weights(iparams, cfg, lora_int8=False)
+    mw_i = pack_mega_weights(iparams, cfg, lora_int8=True)
+    assert mw_i.at.dtype == jnp.int8
+    assert mw_f.at.dtype == jnp.float32
+    # the scalar-dequantized codes reproduce the float banks exactly
+    np.testing.assert_array_equal(
+        np.asarray(mw_i.at, np.float32)
+        * np.asarray(mw_i.at_s)[:, :, None, None],
+        np.asarray(mw_f.at))
+    np.testing.assert_array_equal(
+        np.asarray(mw_i.bt, np.float32)
+        * np.asarray(mw_i.bt_s)[:, :, None, None],
+        np.asarray(mw_f.bt))
+
+    rng = np.random.default_rng(7)
+    B, steps, T_max = 2, 4, 64
+    toks = jnp.asarray(rng.integers(0, m.vocab_size, (B, steps)))
+    kc_f = jnp.zeros((m.n_layer, B, T_max, m.n_embd), jnp.bfloat16)
+    vc_f = jnp.zeros_like(kc_f)
+    kc_i, vc_i = kc_f, vc_f
+    k8_f = jnp.zeros((m.n_layer, B, T_max, m.n_embd), jnp.int8)
+    v8_f = jnp.zeros_like(k8_f)
+    ks_f = jnp.ones((m.n_layer, T_max, 128), jnp.float32)
+    vs_f = jnp.ones_like(ks_f)
+    k8_i, v8_i, ks_i, vs_i = k8_f, v8_f, ks_f, vs_f
+    from llm_qat_tpu.ops.mega_decode import mega_decode_step_kv8
+
+    for step in range(steps):
+        h = (iparams["wte"][toks[:, step]]
+             + iparams["wpe"][step][None]).astype(jnp.float32)
+        a, kc_f, vc_f = mega_decode_step(
+            h, mw_f, kc_f, vc_f, jnp.int32(step), n_head=m.n_head,
+            head_dim=m.head_dim, has_lora=True, act_dtype=jnp.float32,
+            interpret=True)
+        b, kc_i, vc_i = mega_decode_step(
+            h, mw_i, kc_i, vc_i, jnp.int32(step), n_head=m.n_head,
+            head_dim=m.head_dim, has_lora=True, act_dtype=jnp.float32,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-5,
+                                   err_msg=f"kv16 step {step}")
+        a8, k8_f, v8_f, ks_f, vs_f = mega_decode_step_kv8(
+            h, mw_f, k8_f, v8_f, ks_f, vs_f, jnp.int32(step),
+            n_head=m.n_head, head_dim=m.head_dim, has_lora=True,
+            act_dtype=jnp.float32, kv_bits=8, interpret=True)
+        b8, k8_i, v8_i, ks_i, vs_i = mega_decode_step_kv8(
+            h, mw_i, k8_i, v8_i, ks_i, vs_i, jnp.int32(step),
+            n_head=m.n_head, head_dim=m.head_dim, has_lora=True,
+            act_dtype=jnp.float32, kv_bits=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(b8), np.asarray(a8),
+                                   rtol=2e-5, atol=1e-5,
+                                   err_msg=f"kv8 step {step}")
+    np.testing.assert_allclose(np.asarray(kc_i, jnp.float32),
+                               np.asarray(kc_f, jnp.float32),
+                               rtol=2e-5, atol=1e-5)
+    # int8 KV codes may flip ±1 where the f32 rounding moved a value
+    # across a grid boundary; require near-total agreement
+    agree = (np.asarray(k8_i) == np.asarray(k8_f)).mean()
+    assert agree > 0.999, agree
+
+
+def test_lm_head_int4_math():
+    """`_lm_head` with the nibble-packed head reproduces the manual
+    dequantized projection exactly (integer dots, factored scales)."""
+    from llm_qat_tpu.models.inference import _lm_head
+    from llm_qat_tpu.models import init_sp_params as _init
+
+    cfg = _mega_config(0)
+    params = init_sp_params(jax.random.PRNGKey(3), cfg)
+    params = calibrate_weight_quantizers(params, cfg)
+    ip = quantize_for_inference(params, cfg, 8, dtype=jnp.float32,
+                                weight_format="int8_xla", lm_head_bits=4)
+    ip.pop("_static")
+    assert "head_i4" in ip and "head_i8" not in ip
+    d = cfg.model.n_embd
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(2, 3, d)), jnp.float32)
+    got = np.asarray(_lm_head(ip, h))
+    # manual reference: unpack codes, integer dot, factored scales
+    p = np.asarray(ip["head_i4"]).astype(np.int32)
+    lo = ((p << 28) >> 28).astype(np.int32)
+    hi = (p >> 4).astype(np.int32)
+    codes = np.concatenate([lo, hi], axis=1)  # (V, d)
+    hf = np.asarray(h, np.float32)
+    xs = np.maximum(np.abs(hf).max(axis=(1, 2), keepdims=True), 1e-8) / 127.0
+    qh = np.clip(np.round(hf / xs), -127, 127).astype(np.int32)
+    acc = np.einsum("bsd,vd->bsv", qh, codes)
+    want = acc * xs * np.asarray(ip["head_s"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # codes are the round-to-nearest ±7 grid of wte
+    wte = np.asarray(params["wte"], np.float32)
+    s = np.maximum(np.abs(wte).max(axis=1), 1e-8) / 7.0
+    np.testing.assert_array_equal(
+        codes, np.clip(np.round(wte / s[:, None]), -7, 7).astype(np.int32))
 
 
 def test_pack_rejects_non_int8_tree():
@@ -589,6 +707,8 @@ def test_tiles_per_step_bit_identical(tpg):
         bias=jnp.asarray(rng.random((L, 12, 1, d)) * 0.01, jnp.float32),
         at=jnp.asarray(rng.random((L, 12, d, r)) * 0.02 - 0.01, jnp.float32),
         bt=jnp.asarray(rng.random((L, 12, r, d)) * 0.02 - 0.01, jnp.float32),
+        at_s=jnp.ones((L, 12), jnp.float32),
+        bt_s=jnp.ones((L, 12), jnp.float32),
         ln=jnp.asarray(rng.random((L, 4, d)), jnp.float32),
         xs=jnp.asarray(rng.random((L, 4)) * 0.02 + 0.01, jnp.float32),
     )

@@ -109,6 +109,36 @@ class TestTrainStep:
             np.asarray(params["ln_f"]["g"]),
         )
 
+    def test_vmap_students_match_scan(self, trained_setup):
+        """student_mode='vmap' (one batched fwd+bwd over all students, r5)
+        must reproduce the scan mode's loss and updated params — same math,
+        only the accumulation moves inside the backward contractions.
+        Dropout must also agree: both modes fold the same per-student rng."""
+        cfg, tcfg, params, batches = trained_setup
+        import dataclasses
+
+        results = {}
+        for mode in ("scan", "vmap"):
+            tc = dataclasses.replace(tcfg, student_mode=mode)
+            init_state, train_step = make_sp_train_step(cfg, tc)
+            state = init_state(params)
+            state, metrics = jax.jit(train_step)(
+                state, batches[0], jax.random.PRNGKey(11))
+            results[mode] = (state, metrics)
+        m_s, m_v = results["scan"][1], results["vmap"][1]
+        np.testing.assert_allclose(float(m_v["loss"]), float(m_s["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m_v["grad_norm"]),
+                                   float(m_s["grad_norm"]), rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(m_v["precisions"]),
+                                      np.asarray(m_s["precisions"]))
+        # updated parameter trees agree leaf-by-leaf (float addition order
+        # differs -> tiny tolerance, not exact)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+            results["scan"][0].params, results["vmap"][0].params)
+
     def test_student_precisions_sampled_from_students(self, trained_setup):
         cfg, tcfg, params, batches = trained_setup
         init_state, train_step = make_sp_train_step(cfg, tcfg)
