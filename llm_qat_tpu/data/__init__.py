@@ -8,6 +8,8 @@ from .lm_datasets import (
     get_gpt2_tokenizer,
     load_wikitext,
     synthetic_corpus,
+    synthetic_markov_corpus,
+    WordTokenizer,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "get_gpt2_tokenizer",
     "load_wikitext",
     "synthetic_corpus",
+    "synthetic_markov_corpus",
+    "WordTokenizer",
 ]

@@ -87,6 +87,87 @@ def synthetic_corpus(n_docs: int = 64, seed: int = 0) -> List[str]:
     return docs
 
 
+def synthetic_markov_corpus(n_docs: int = 64, seed: int = 0,
+                            vocab_size: int = 128, order: int = 2,
+                            branching: int = 8, table_seed: int = 0,
+                            doc_len=(80, 240)) -> List[str]:
+    """Deterministic order-`order` Markov corpus with real structure.
+
+    The plain `synthetic_corpus` is i.i.d. words over a 22-word vocabulary
+    — a 4-layer model saturates it, so capacity-sensitive ablations
+    (feature-distillation variants, RPI transfer) cannot express
+    (r4 parity battery phases (b)/(d); VERDICT r4 #5). Here each
+    `order`-gram context has `branching` permitted successors with
+    Zipf-ish weights drawn from a per-context hash, so next-word entropy
+    is genuinely reducible only by modeling `order`-length context over a
+    `vocab_size`-word vocabulary — a memorization+composition task whose
+    achievable loss scales with model capacity (V^order contexts x
+    branching successors must be memorized; defaults give 16k contexts,
+    sized so a d=128 model is capacity-bound and a d=512 one is not).
+
+    `table_seed` fixes the transition TABLE; `seed` only drives the doc
+    sampling — train/val/held-out splits share a table by construction.
+    Words are "w0".."w{V-1}"; tokenize with `WordTokenizer`.
+    """
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    words = [f"w{i}" for i in range(vocab_size)]
+    # per-context successor sets come from a hash of (table_seed, ctx) so
+    # the corpus is deterministic without materializing the V^order table
+    base = np.asarray(
+        np.random.default_rng(table_seed ^ 0xBEEF).integers(
+            1, 2**31, size=4), np.int64)
+
+    def successors(ctx):
+        h = base[0]
+        for c in ctx:
+            h = (h * 1000003 + c * base[1] + base[2]) % (2**31 - 1)
+        g = np.random.default_rng(int(h))
+        succ = g.integers(0, vocab_size, size=branching)
+        w = 1.0 / (1.0 + np.arange(branching)) ** 1.2
+        return succ, w / w.sum()
+
+    docs = []
+    for _ in range(n_docs):
+        n = int(rng.integers(*doc_len))
+        ctx = tuple(int(x) for x in rng.integers(0, vocab_size, order))
+        out = list(ctx)
+        for _ in range(n - order):
+            succ, w = successors(ctx)
+            nxt = int(rng.choice(succ, p=w))
+            out.append(nxt)
+            ctx = (*ctx[1:], nxt)
+        docs.append(" ".join(words[i] for i in out))
+    return docs
+
+
+class WordTokenizer:
+    """Whitespace word-level tokenizer over a fixed vocabulary.
+
+    Built from a corpus (or a vocab size for the synthetic Markov words);
+    id 0 is reserved for <pad>/<unk>, the last id is <eos> — mirroring the
+    interface of `ByteTokenizer`/the GPT-2 wrapper used elsewhere."""
+
+    def __init__(self, texts=None, vocab_size: int = None):
+        if texts is not None:
+            seen = {}
+            for t in texts:
+                for w in t.split():
+                    seen.setdefault(w, len(seen))
+            self._vocab = {w: i + 1 for w, i in seen.items()}
+        else:
+            self._vocab = {f"w{i}": i + 1 for i in range(vocab_size)}
+        self.vocab_size = len(self._vocab) + 2
+        self.pad_token_id = 0
+        self.eos_token_id = self.vocab_size - 1
+        self._inv = {i: w for w, i in self._vocab.items()}
+
+    def __call__(self, text):
+        return [self._vocab.get(w, 0) for w in text.split()]
+
+    def decode(self, ids):
+        return " ".join(self._inv.get(int(i), "<unk>") for i in ids)
+
+
 def load_wikitext(version: str = "wikitext-2-raw-v1", split: str = "train",
                   limit: Optional[int] = None) -> List[str]:
     """WikiText via HF datasets, falling back to the synthetic corpus.

@@ -33,6 +33,7 @@ banks of shape (P, d) gathered by `prec`.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -273,12 +274,60 @@ def sp_linear(x, p, prec, tables: PrecTables, cfg: SPModelConfig,
     return base, stats
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layernorm_cvjp(x, g, b, eps):
+    xf = jnp.asarray(x, jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (g * xn + b).astype(x.dtype)
+
+
+def _layernorm_cvjp_fwd(x, g, b, eps):
+    xf = jnp.asarray(x, jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn = (xf - mean) * rstd
+    y = (g * xn + b).astype(x.dtype)
+    # residuals: x + the two (N, 1) row stats — xn is recomputed in the
+    # backward (one fused elementwise) instead of saved (a (B, T, d) f32
+    # residency the autodiff path was carrying between passes)
+    return y, (x, mean, rstd, g)
+
+
+def _layernorm_cvjp_bwd(eps, res, dy):
+    x, mean, rstd, g = res
+    dyf = jnp.asarray(dy, jnp.float32)
+    xn = (jnp.asarray(x, jnp.float32) - mean) * rstd
+    dg = jnp.sum(dyf * xn, axis=tuple(range(dyf.ndim - 1)))
+    db = jnp.sum(dyf, axis=tuple(range(dyf.ndim - 1)))
+    t = dyf * g
+    dx = (t - jnp.mean(t, axis=-1, keepdims=True)
+          - xn * jnp.mean(t * xn, axis=-1, keepdims=True)) * rstd
+    return dx.astype(x.dtype), dg, db
+
+
+_layernorm_cvjp.defvjp(_layernorm_cvjp_fwd, _layernorm_cvjp_bwd)
+
+
+LN_IMPL = "cvjp"  # "cvjp" (hand-written backward) | "autodiff" (A/B switch)
+
+
 def switchable_layernorm(x, ln, prec, eps: float):
     """Per-precision-affine LayerNorm (reference `switchable_batchnorm.py:102-109`).
 
     Manual mean/var over the feature dim (biased variance), then the gamma/beta
-    pair gathered from the (P, d) bank by the traced `prec` index.
+    pair gathered from the (P, d) bank by the traced `prec` index. The
+    backward is a hand-written single-pass custom_vjp (the standard LN
+    gradient identity) — XLA's autodiff of the mean/var chain emitted
+    several extra fused reductions per LN, ~8.4 ms/step across the 96
+    fwd+bwd LN calls of a train iteration (r4 trace, VERDICT r4 #7); the
+    bank gather/scatter stays outside and differentiates as usual.
+    Gradients match autodiff to fp rounding (tests/test_sp_model.py).
     """
+    if LN_IMPL == "cvjp":
+        return _layernorm_cvjp(x, ln["g"][prec], ln["b"][prec], eps)
     xf = jnp.asarray(x, jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

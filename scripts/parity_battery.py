@@ -35,12 +35,13 @@ OUT = Path("outputs/parity_battery.json")
 SEQ, BATCH = 64, 8
 
 
-def _mk_cfg(bit_widths, kinds=None, rank=16, d=128):
+def _mk_cfg(bit_widths, kinds=None, rank=16, d=128, n_layer=4,
+            n_head=4, vocab=260):
     from llm_qat_tpu.models import GPT2Config, QuantConfig, SPModelConfig
 
     return SPModelConfig(
-        model=GPT2Config(vocab_size=260, n_positions=128, n_embd=d,
-                         n_layer=4, n_head=4),
+        model=GPT2Config(vocab_size=vocab, n_positions=128, n_embd=d,
+                         n_layer=n_layer, n_head=n_head),
         quant=QuantConfig(
             bit_widths=tuple(bit_widths),
             quantizer_per_bit=kinds or {},
@@ -92,26 +93,52 @@ def transfer_base(src_params, src_cfg, dst_cfg, key):
 class Harness:
     """Shared tiny-GPT pretraining + eval plumbing."""
 
-    def __init__(self, base_iters=400):
+    def __init__(self, base_iters=400, d=128, n_layer=4,
+                 corpus="bytes"):
+        """corpus="bytes": the r4 byte-level i.i.d.-words harness.
+        corpus="markov": word-level order-2 Markov task with 16k contexts
+        (capacity-bound — `synthetic_markov_corpus`), for the r5 scale
+        sweep (VERDICT r4 #5: phases (b)/(d) at sizes that discriminate).
+        """
+        import functools
+
         import jax
         import jax.numpy as jnp
         import optax
 
         from llm_qat_tpu.data import (
-            create_dataloaders, get_gpt2_tokenizer, synthetic_corpus,
+            WordTokenizer, create_dataloaders, get_gpt2_tokenizer,
+            synthetic_corpus, synthetic_markov_corpus,
         )
         from llm_qat_tpu.models import init_sp_params, prec_tables, sp_forward
 
         self.jax, self.jnp = jax, jnp
-        self.tokenizer = get_gpt2_tokenizer()
-        self.cfg0 = _mk_cfg((4, 32))
+        if corpus == "markov":
+            mk = functools.partial(synthetic_markov_corpus, vocab_size=128,
+                                   table_seed=0)
+            self.tokenizer = WordTokenizer(vocab_size=128)
+            train_txt, val_txt = mk(1024, 0), mk(64, 1)
+            held_txt, attack_txt = mk(64, 2), mk(40, 3)
+            self.attack_vocab = [f"w{i}" for i in range(128)]
+        else:
+            self.tokenizer = get_gpt2_tokenizer()
+            train_txt, val_txt = synthetic_corpus(96, 0), synthetic_corpus(24, 1)
+            held_txt, attack_txt = synthetic_corpus(24, 2), synthetic_corpus(40, 3)
+            from llm_qat_tpu.data.lm_datasets import synthetic_corpus as _sc
+
+            self.attack_vocab = sorted({w.strip(".").lower()
+                                        for t in _sc(4, 0) for w in t.split()
+                                        if len(w) > 3})
+        self.mk_cfg = functools.partial(
+            _mk_cfg, d=d, n_layer=n_layer, n_head=max(4, d // 64),
+            vocab=self.tokenizer.vocab_size)
+        self.cfg0 = self.mk_cfg((4, 32))
         self.tables0 = prec_tables(self.cfg0.quant)
         self.train_ds, self.val_ds = create_dataloaders(
-            self.tokenizer, synthetic_corpus(96, 0), synthetic_corpus(24, 1),
-            max_length=SEQ)
+            self.tokenizer, train_txt, val_txt, max_length=SEQ)
         self.held_out = [np.asarray(self.tokenizer(t), np.int32)
-                         for t in synthetic_corpus(24, 2)]
-        self.attack_texts = [t for t in synthetic_corpus(40, 3)
+                         for t in held_txt]
+        self.attack_texts = [t for t in attack_txt
                              if len(t.split()) >= 5]
 
         params = init_sp_params(jax.random.PRNGKey(0), self.cfg0)
@@ -205,8 +232,8 @@ def phase_a(h: Harness, results):
     bits_list = (3, 4, 5, 6)
     table = {}
     for kind in ("minmax", "log"):
-        cfg = _mk_cfg(bits_list + (32,),
-                      kinds={b: kind for b in range(2, 17)})
+        cfg = h.mk_cfg(bits_list + (32,),
+                       kinds={b: kind for b in range(2, 17)})
         p = transfer_base(h.base_params, h.cfg0, cfg, jax.random.PRNGKey(1))
         p = h.sp_qat(p, cfg, iters=250)
         table[kind] = {b: round(h.ppl(p, cfg, b), 2) for b in bits_list}
@@ -231,7 +258,7 @@ def phase_b(h: Harness, results):
     """Random-layer vs all-layers feature distillation at INT4."""
     import jax
 
-    cfg = _mk_cfg((4, 32))
+    cfg = h.mk_cfg((4, 32))
     out = {}
     # alpha_feature amplified (reference 1e-7 at GPT-2 scale; at tiny
     # scale that weight makes the feature term invisible, so the ablation
@@ -401,7 +428,7 @@ def phase_d(h: Harness, results):
     )
     from llm_qat_tpu.robustness.random_switching import token_level_metrics
 
-    cfg = _mk_cfg((3, 4, 32))
+    cfg = h.mk_cfg((3, 4, 32))
     params = transfer_base(h.base_params, h.cfg0, cfg, jax.random.PRNGKey(5))
     params = h.sp_qat(params, cfg, iters=200)
     tables = prec_tables(cfg.quant)
@@ -449,10 +476,7 @@ def phase_d(h: Harness, results):
     # candidate set to corpus words keeps the attack in-distribution, the
     # regime the reference's real-English attacks operate in. The
     # embedding-cosine gate still filters candidates per TextFooler.
-    from llm_qat_tpu.data.lm_datasets import synthetic_corpus as _sc
-
-    vocab = sorted({w.strip(".").lower()
-                    for t in _sc(4, 0) for w in t.split() if len(w) > 3})
+    vocab = h.attack_vocab
 
     class CorpusSynonyms:
         def get_synonyms(self, word, max_candidates=10):

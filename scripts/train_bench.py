@@ -143,9 +143,16 @@ if __name__ == "__main__":
     print(f"tunnel fetch baseline: {fetch_ms:.1f} ms", flush=True)
     names = sys.argv[3].split(",") if len(sys.argv) > 3 else ["cond", "fused"]
     for name in names:
+        ln_impl = "cvjp"
+        if name.endswith("@lnauto"):
+            name, ln_impl = name[:-len("@lnauto")], "autodiff"
+        from llm_qat_tpu.models import sp_model as _spm
+
+        _spm.LN_IMPL = ln_impl
         kw = dict(VARIANTS[name])
         attn = kw.pop("attention_impl", "auto")
         tkw = {k[5:]: v for k, v in kw.items() if k.startswith("tcfg_")}
         kw = {k: v for k, v in kw.items() if not k.startswith("tcfg_")}
         cfg, params, batch = build(attention_impl=attn, **kw)
-        bench_step(f"step[{name}]", cfg, params, batch, fetch_ms, **tkw)
+        bench_step(f"step[{name}:ln={ln_impl}]", cfg, params, batch,
+                   fetch_ms, **tkw)
