@@ -25,10 +25,48 @@ Loss semantics matched exactly:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _kl_cross(s, p_t, temperature):
+    """mean over rows of Σ_v p_t · log_softmax(s/T)_v, fused.
+
+    Identity: Σ p_t·(s/T − lse) = (Σ p_t·s)/T − P·lse with P = Σ p_t, so
+    the forward never materializes log_softmax(s/T) — and the backward
+    ds = (p_t − softmax(s/T)·P) / (N·T) recomputes the softmax from the
+    saved (B, T) logsumexp instead of carrying a (B, T, vocab) f32
+    residual between passes (autodiff saves s_logp — ~400 MB per student
+    at GPT-2's vocab)."""
+    st = s / temperature
+    lse = jax.scipy.special.logsumexp(st, axis=-1)
+    P = jnp.sum(p_t.astype(jnp.float32), axis=-1)
+    rows = jnp.sum(p_t.astype(jnp.float32) * st, axis=-1) - P * lse
+    return jnp.mean(rows)
+
+
+def _kl_cross_fwd(s, p_t, temperature):
+    st = s / temperature
+    lse = jax.scipy.special.logsumexp(st, axis=-1)
+    P = jnp.sum(p_t.astype(jnp.float32), axis=-1)
+    rows = jnp.sum(p_t.astype(jnp.float32) * st, axis=-1) - P * lse
+    return jnp.mean(rows), (s, p_t, lse, P)
+
+
+def _kl_cross_bwd(temperature, res, g):
+    s, p_t, lse, P = res
+    n_rows = lse.size
+    q = jnp.exp(s / temperature - lse[..., None])
+    ds = (g / (n_rows * temperature)) * (
+        p_t.astype(jnp.float32) - q * P[..., None])
+    return ds.astype(s.dtype), jnp.zeros_like(p_t)
+
+
+_kl_cross.defvjp(_kl_cross_fwd, _kl_cross_bwd)
 
 
 class TeacherOutputs(NamedTuple):
@@ -76,8 +114,9 @@ def kl_distillation_loss(student_logits, teacher, temperature: float):
     """
     T = temperature
     if isinstance(teacher, TeacherOutputs) and teacher.probs is not None:
-        p_t = teacher.probs
-        neg_ent = teacher.neg_entropy
+        s = student_logits[:, :-1].astype(jnp.float32)
+        cross = _kl_cross(s, teacher.probs, T)
+        return (teacher.neg_entropy - cross) * (T * T)
     else:
         t_raw = teacher.logits if isinstance(teacher, TeacherOutputs) else teacher
         t = jax.lax.stop_gradient(t_raw)[:, :-1].astype(jnp.float32)
