@@ -132,20 +132,24 @@ def main():
            "cb-norecent (len 256)", fetch)
 
     # --- merge cost (paid once per chunk of STEPS tokens)
+    # chain N merges in one jit and return a SCALAR — fetching the merged
+    # cache itself would pull ~19 MB through the tunnel and time the link
     @jax.jit
-    def merge(mainc, recc):
-        out = cb_merge_recent(*mainc, *recc, jnp.asarray(uni, jnp.int32),
-                              TR)
-        return (out[0],)
+    def merge_n(mainc, recc):
+        def body(c, i):
+            out = cb_merge_recent(*c, *recc, jnp.asarray(uni, jnp.int32)
+                                  + i, TR)
+            return out, out[0][0, 0, 0, 0]
+        c, last = jax.lax.scan(body, mainc, jnp.arange(8))
+        return last[-1].astype(jnp.int32)
 
-    m = merge(main_c, rec_c)
-    np.asarray(m[0])
+    int(merge_n(main_c, rec_c))
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        np.asarray(merge(main_c, rec_c)[0])
+        int(merge_n(main_c, rec_c))
         ts.append(time.perf_counter() - t0)
-    per = (np.median(ts) - fetch) * 1e6
+    per = (np.median(ts) - fetch) / 8 * 1e6
     print(f"merge (per chunk of {TR}): {per:8.1f} us "
           f"= {per/TR:6.2f} us/token", flush=True)
 

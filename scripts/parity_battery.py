@@ -94,7 +94,7 @@ class Harness:
     """Shared tiny-GPT pretraining + eval plumbing."""
 
     def __init__(self, base_iters=400, d=128, n_layer=4,
-                 corpus="bytes"):
+                 corpus="bytes", base_lr=3e-4):
         """corpus="bytes": the r4 byte-level i.i.d.-words harness.
         corpus="markov": word-level order-2 Markov task with 16k contexts
         (capacity-bound — `synthetic_markov_corpus`), for the r5 scale
@@ -113,6 +113,7 @@ class Harness:
         from llm_qat_tpu.models import init_sp_params, prec_tables, sp_forward
 
         self.jax, self.jnp = jax, jnp
+        self.corpus = corpus
         if corpus == "markov":
             mk = functools.partial(synthetic_markov_corpus, vocab_size=128,
                                    table_seed=0)
@@ -142,7 +143,7 @@ class Harness:
                              if len(t.split()) >= 5]
 
         params = init_sp_params(jax.random.PRNGKey(0), self.cfg0)
-        opt = optax.adamw(3e-4)
+        opt = optax.adamw(base_lr)
         opt_state = opt.init(params)
         p32 = jnp.int32(self.cfg0.quant.prec_index(32))
 
@@ -170,6 +171,29 @@ class Harness:
                       for ids, _ in self.train_ds.batches(BATCH)][:4]
 
     def batches_forever(self, seed0):
+        if self.corpus == "markov":
+            # INFINITE-DATA regime: fresh docs from the same transition
+            # tables every cycle, so doc memorization is impossible and
+            # train loss == generalization — only the table (capacity)
+            # is learnable. (The fixed-corpus variant measured d128
+            # overfitting to held-out PPL ~2900 while train loss hit
+            # 0.75 — the harness was testing memorization, not capacity.)
+            from llm_qat_tpu.data import synthetic_markov_corpus
+
+            seed = seed0
+            while True:
+                docs = synthetic_markov_corpus(256, seed=7_000 + seed,
+                                               vocab_size=128, table_seed=0)
+                ids = np.stack([
+                    np.pad(np.asarray(self.tokenizer(t), np.int32)[:SEQ],
+                           (0, max(0, SEQ - len(self.tokenizer(t)[:SEQ]))))
+                    for t in docs if len(t.split()) >= SEQ])
+                perm = np.random.default_rng(seed).permutation(len(ids))
+                ids = ids[perm]
+                for i in range(0, len(ids) - BATCH + 1, BATCH):
+                    yield ids[i:i + BATCH], None
+                seed += 1
+            return
         it, seed = None, seed0
         while True:
             if it is None:

@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from parity_battery import Harness, phase_b, phase_d  # noqa: E402
 
 OUT = Path("outputs/parity_scale.json")
-SIZES = ((128, 4, 600), (256, 8, 800), (512, 8, 1000))  # (d, L, base_iters)
+SIZES = ((128, 4, 6000, 1e-3), (256, 8, 8000, 7e-4),
+         (512, 8, 10000, 5e-4))  # (d, L, base_iters, lr)
 
 
 def main(argv):
@@ -31,11 +32,12 @@ def main(argv):
     results = {}
     if OUT.exists():
         results = json.loads(OUT.read_text())
-    for d, L, iters in SIZES:
+    for d, L, iters, lr in SIZES:
         key = f"d{d}_L{L}"
         print(f"\n==== scale {key} ====", flush=True)
         t0 = time.time()
-        h = Harness(base_iters=iters, d=d, n_layer=L, corpus="markov")
+        h = Harness(base_iters=iters, d=d, n_layer=L, corpus="markov",
+                    base_lr=lr)
         sub = results.setdefault(key, {})
         if "b" in which:
             phase_b(h, sub)
@@ -48,7 +50,7 @@ def main(argv):
     # scale-trend summary
     print("\n| size | random-layer PPL | all-layers PPL | best RPI recovery |")
     print("|---|---|---|---|")
-    for d, L, _ in SIZES:
+    for d, L, *_ in SIZES:
         sub = results.get(f"d{d}_L{L}", {})
         b = sub.get("b_distill_ablation", {})
         dd = sub.get("d_rpi_defense", {})
