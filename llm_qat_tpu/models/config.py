@@ -220,6 +220,12 @@ class TrainConfig:
     distill_alpha_feature: float = 1e-7
     distill_temperature: float = 3.0
     distill_accumulative: bool = False  # random-layer (False) vs all-layers feature loss
+    # The reference collects hidden states with .clone().detach() for BOTH
+    # teacher and student (models_sp.py:322,331), so its feature loss
+    # carries NO gradient — the faithful default. True lets the feature
+    # term train the student (what the reference report's all-layers-vs-
+    # random ablation numbers imply; exercised by scripts/parity_scale.py).
+    distill_feature_grad: bool = False
     # dtype of the cached teacher softmax probs shared by all student
     # micro-steps. "bfloat16" halves the per-student (B,T,V) read traffic
     # (~1.9 ms/step on v5e) but rounds p_t so sum(p_t) != 1 and the KL

@@ -409,6 +409,7 @@ def sp_forward(
     collect_stats: bool = False,
     input_passthrough: bool = False,
     output_hidden_states: bool = False,
+    hidden_states_grad: bool = False,
     remat: bool = False,
     attention_fn=None,
 ):
@@ -418,7 +419,12 @@ def sp_forward(
     Returns a dict with `logits`, optional `loss` (shifted CE ignoring -100
     labels), optional `hidden_states` ((L+1, B, T, d): embeddings + each
     block's input h + final ln_f output, detached exactly like the reference's
-    `.clone().detach()` collection at `models_sp.py:322,331`), and optional
+    `.clone().detach()` collection at `models_sp.py:322,331` — note the
+    reference detaches for the STUDENT pass too, so its feature-distillation
+    term carries no gradient and its published all-layers-vs-random ablation
+    cannot be produced by the released code; `hidden_states_grad=True` opts
+    into gradient-carrying collection for testing that ablation's premise
+    (scripts/parity_scale.py)), and optional
     `stats` (input-quantizer calibration statistics per layer/linear).
     """
     if tables is None:
@@ -461,7 +467,7 @@ def sp_forward(
                               attention_fn=attention_fn)
         ys = {}
         if output_hidden_states:
-            ys["h_in"] = jax.lax.stop_gradient(x)
+            ys["h_in"] = x if hidden_states_grad else jax.lax.stop_gradient(x)
         if collect_stats and s is not None:
             ys["stats"] = s
         return out, ys
@@ -483,7 +489,7 @@ def sp_forward(
     out = {"logits": logits, "trunk": h}
 
     if output_hidden_states:
-        final = jax.lax.stop_gradient(h)[None]
+        final = (h if hidden_states_grad else jax.lax.stop_gradient(h))[None]
         out["hidden_states"] = jnp.concatenate([ys["h_in"], final], axis=0)
     if collect_stats:
         out["stats"] = ys.get("stats")

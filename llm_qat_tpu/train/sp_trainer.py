@@ -168,10 +168,17 @@ def make_sp_train_step(cfg: SPModelConfig, tcfg: TrainConfig,
                 deterministic=False, dropout_rng=rng,
                 output_hidden_states=True,
             )
+        extra = {}
+        if getattr(tcfg, "distill_feature_grad", False):
+            # Opt-in: gradient-carrying hidden states so the feature-
+            # distillation term actually trains the student (the reference
+            # detaches BOTH sides, models_sp.py:322,331 — see sp_forward's
+            # docstring; teacher side is re-detached inside the loss).
+            extra["hidden_states_grad"] = True
         return sp_forward(
             params, ids, prec, cfg, tables=tables, labels=labels,
             deterministic=False, dropout_rng=rng,
-            output_hidden_states=True, attention_fn=attention_fn,
+            output_hidden_states=True, attention_fn=attention_fn, **extra,
         )
 
     def teacher_loss_fn(params, ids, rng):

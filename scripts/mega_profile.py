@@ -51,10 +51,15 @@ prompt = jnp.asarray(rng.integers(0, 50257, (B, 64)))
 
 results = {}
 print(f"B={B} Tc={TC} n_new={N_NEW} reps={REPS}", flush=True)
-for wf, bits in (("int8_xla", 8), ("int4_xla", 4)):
-    for kvb in (16, 8):
+CONFIGS = [("int8_xla", 8, 16, 8), ("int8_xla", 8, 8, 8),
+           ("int8_xla", 8, 4, 8), ("int4_xla", 4, 16, 8),
+           ("int4_xla", 4, 8, 8), ("int4_xla", 4, 4, 8),
+           # r5 diet headline: int4 head (int8 LoRA banks are default)
+           ("int4_xla", 4, 4, 4)]
+for wf, bits, kvb, headb in CONFIGS:
+    if True:
         eng = InferenceEngine(params, cfg, bits=bits, max_batch=B, max_len=TC,
-                              weight_format=wf, lm_head_int8=True,
+                              weight_format=wf, lm_head_bits=headb,
                               kv_layout="mega", kv_bits=kvb)
         caches = init_layer_caches(cfg, B, TC, jnp.bfloat16, kv_layout="dense")
         logits, caches, _ = eng._prefill(eng.iparams, prompt, caches)
@@ -64,7 +69,7 @@ for wf, bits in (("int8_xla", 8), ("int4_xla", 4)):
                   do_sample=False, eos_token_id=None)
 
         def run(cs, start):
-            if kvb == 8:
+            if kvb in (8, 4):
                 toks, *cs = eng._decode_mega_kv8(
                     eng.iparams, eng.mega, l0, *cs, jnp.int32(start),
                     jax.random.PRNGKey(0), **kw)
@@ -89,16 +94,18 @@ for wf, bits in (("int8_xla", 8), ("int4_xla", 4)):
             med = float(np.median(ts))
             xs.append(start + N_NEW / 2)  # mean live prefix over the window
             ys.append(med)
-            print(f"  W{bits} KV{kvb} pos~{xs[-1]:.0f}: {med:.1f} us/step "
+            print(f"  W{bits} KV{kvb} H{headb} pos~{xs[-1]:.0f}: {med:.1f} us/step "
                   f"(min {min(ts):.1f}, max {max(ts):.1f})", flush=True)
         A = np.vstack([np.ones(len(xs)), np.asarray(xs)]).T
         (icept, slope), *_ = np.linalg.lstsq(A, np.asarray(ys), rcond=None)
-        results[(bits, kvb)] = (icept, slope)
-        print(f"W{bits} KV{kvb}: intercept {icept:.1f} us + "
+        results[(bits, kvb, headb)] = (icept, slope)
+        print(f"W{bits} KV{kvb} H{headb}: intercept {icept:.1f} us + "
               f"{slope*1000:.2f} ns/prefix-token", flush=True)
 
 print("\nsummary (intercept us | slope ns/token | KV GB/s effective):")
-for (bits, kvb), (icept, slope) in sorted(results.items()):
-    bpt = 2 * 12 * B * 768 * (2 if kvb == 16 else 1)
+for (bits, kvb, headb), (icept, slope) in sorted(results.items()):
+    kv_bytes = {16: 2.0, 8: 1.0, 4: 0.5}[kvb]
+    bpt = 2 * 12 * B * 768 * kv_bytes
     eff = bpt / (slope * 1e-6) / 1e9 if slope > 0 else float("inf")
-    print(f"  W{bits} KV{kvb}: {icept:7.1f} | {slope*1000:7.2f} | ~{eff:.0f}")
+    print(f"  W{bits} KV{kvb} H{headb}: {icept:7.1f} | {slope*1000:7.2f} "
+          f"| ~{eff:.0f}")
