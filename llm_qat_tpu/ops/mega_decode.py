@@ -780,8 +780,9 @@ def _mega_kernel_kv8(*refs,
          kc_in, vc_in, ks_in, vs_in,
          o_ref, kc, vc, ksc, vsc,
          qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
-         kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
-         sem, ssem, rsem, rssem) = refs
+         kbuf, vbuf, ksbuf, vsbuf, krbuf, vrbuf, ksrbuf, vsrbuf,
+         rmwk, rmwv, rmwks, rmwvs,
+         sem, ssem, rsem, rssem, rpsem) = refs
         del kc_in, vc_in, ks_in, vs_in  # aliased (recent buffers)
         pos = rpos_ref[0]  # uniform position within the RECENT buffer
     else:
@@ -790,9 +791,11 @@ def _mega_kernel_kv8(*refs,
          vs_in,
          o_ref, kc, vc, ksc, vsc,
          qkv_s, qx_s, hn2_s, g_s, acc_s, xam_s,
-         kbuf, vbuf, ksbuf, vsbuf, rmwk, rmwv, rmwks, rmwvs,
-         sem, ssem, rsem, rssem) = refs
+         kbuf, vbuf, ksbuf, vsbuf, krbuf, vrbuf, ksrbuf, vsrbuf,
+         rmwk, rmwv, rmwks, rmwvs,
+         sem, ssem, rsem, rssem, rpsem) = refs
         del kc_in, vc_in, ks_in, vs_in  # aliased
+        del krbuf, vrbuf, ksrbuf, vsrbuf, rpsem  # per_slot-only scratch
         pos = pos_ref[0]
     l = pl.program_id(0)
     t_step = pl.program_id(1)
@@ -920,6 +923,28 @@ def _mega_kernel_kv8(*refs,
             rks.start()
             rvs.start()
 
+            if per_slot:
+                # Prefetch the single recent-buffer block NOW so its DMA
+                # hides under the main-prefix stream: running the recent
+                # pass sequentially after the main pass measured ~109
+                # us/step of un-hidden latency (scripts/cb_profile.py
+                # ablation, r5). Rows >= pos are masked in the merge, so
+                # reading the not-yet-written row `pos` is benign, and the
+                # append RMW write-back starts only after this copy has
+                # been waited (no read/write overlap).
+                pkr = pltpu.make_async_copy(kc.at[l, :, pl.ds(0, tbp)],
+                                            krbuf, rpsem.at[0])
+                pvr = pltpu.make_async_copy(vc.at[l, :, pl.ds(0, tbp)],
+                                            vrbuf, rpsem.at[1])
+                pksr = pltpu.make_async_copy(ksc.at[l, pl.ds(0, tbp)],
+                                             ksrbuf, rpsem.at[2])
+                pvsr = pltpu.make_async_copy(vsc.at[l, pl.ds(0, tbp)],
+                                             vsrbuf, rpsem.at[3])
+                pkr.start()
+                pvr.start()
+                pksr.start()
+                pvsr.start()
+
             # scatter per-batch scales into their lanes: (1, B) @ eye(B, 128)
             eyeB = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
                     == jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
@@ -945,10 +970,63 @@ def _mega_kernel_kv8(*refs,
                                           vsbuf.at[slot], ssem.at[1, slot]),
                 )
 
-            def stream(carry0, srcs, nblk, limit):
-                """Online-softmax pass over one cache (double-buffered blocks);
+            def merge_block(carry, kb, ksb_raw, vb, vsb_raw, toff, limit):
+                """Online-softmax update with one (B, tbp, dc) block.
+                `ksb_raw`/`vsb_raw` are the (tbp, 128) lane-scale tiles;
                 `limit` is the valid-row bound — scalar (batch-uniform) or
                 (B, 1, 1) per-slot."""
+                m, lsum, acc = carry
+                ksb = jnp.transpose(ksb_raw[:, :B])  # (tbp, B) -> (B, tbp)
+                if kv_bits == 4:
+                    kbi = kb.astype(jnp.int32)   # no int8 shifts on Mosaic
+                    kb_lo = ((kbi << 28) >> 28).astype(jnp.int8)  # [0, d/2)
+                    kb_hi = (kbi >> 4).astype(jnp.int8)           # [d/2, d)
+                    s32 = jax.lax.dot_general(
+                        Qmq[:, :, :d2], kb_lo, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    s32 = s32 + jax.lax.dot_general(
+                        Qmq[:, :, d2:], kb_hi, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                else:
+                    s32 = jax.lax.dot_general(  # s8 x s8 -> s32 scores
+                        Qmq, kb, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
+                t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
+                                                 2) + toff
+                s = _sel(t_ids < limit, s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=2))
+                pbl = jnp.exp(s - m_new[:, :, None])
+                corr = jnp.exp(m - m_new)
+                l_new = lsum * corr + jnp.sum(pbl, axis=2)
+                # fold per-row V scales into the probabilities, quantize
+                pscaled = pbl * jnp.transpose(
+                    vsb_raw[:, :B])[:, None, :]
+                ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
+                                 1e-30) / 127.0
+                pq = _clamp(_rne(pscaled / ps), -127.0,
+                            127.0).astype(jnp.int8)
+                if kv_bits == 4:
+                    vbi = vb.astype(jnp.int32)
+                    pv_lo = jax.lax.dot_general(
+                        pq, ((vbi << 28) >> 28).astype(jnp.int8),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    pv_hi = jax.lax.dot_general(
+                        pq, (vbi >> 4).astype(jnp.int8),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    pv32 = jnp.concatenate([pv_lo, pv_hi], axis=2)
+                else:
+                    pv32 = jax.lax.dot_general(
+                        pq, vb, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32)
+                pv = pv32.astype(jnp.float32) * ps
+                return m_new, l_new, acc * corr[:, :, None] + pv
+
+            def stream(carry0, srcs, nblk, limit):
+                """Online-softmax pass over one cache (double-buffered
+                blocks)."""
 
                 @pl.when(nblk > 0)
                 def _():
@@ -956,7 +1034,6 @@ def _mega_kernel_kv8(*refs,
                         c.start()
 
                 def body(j, carry):
-                    m, lsum, acc = carry
                     slot = _irem(j, 2)
 
                     @pl.when(j + 1 < nblk)
@@ -966,54 +1043,9 @@ def _mega_kernel_kv8(*refs,
 
                     for c in get_dma(slot, j, srcs):
                         c.wait()
-                    kb = kbuf[slot]    # (B, tbp, d) int8 codes — or packed d/2
-                    ksb = jnp.transpose(ksbuf[slot][:, :B])  # (tpb,B)->(B,tbp)
-                    if kv_bits == 4:
-                        kbi = kb.astype(jnp.int32)   # no int8 shifts on Mosaic
-                        kb_lo = ((kbi << 28) >> 28).astype(jnp.int8)  # [0, d/2)
-                        kb_hi = (kbi >> 4).astype(jnp.int8)           # [d/2, d)
-                        s32 = jax.lax.dot_general(
-                            Qmq[:, :, :d2], kb_lo, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.int32)
-                        s32 = s32 + jax.lax.dot_general(
-                            Qmq[:, :, d2:], kb_hi, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.int32)
-                    else:
-                        s32 = jax.lax.dot_general(  # s8 x s8 -> s32 scores
-                            Qmq, kb, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.int32)
-                    s = s32.astype(jnp.float32) * qs * ksb[:, None, :]
-                    t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tbp),
-                                                     2) + j * tbp
-                    s = _sel(t_ids < limit, s, NEG_INF)
-                    m_new = jnp.maximum(m, jnp.max(s, axis=2))
-                    pbl = jnp.exp(s - m_new[:, :, None])
-                    corr = jnp.exp(m - m_new)
-                    l_new = lsum * corr + jnp.sum(pbl, axis=2)
-                    # fold per-row V scales into the probabilities, quantize
-                    pscaled = pbl * jnp.transpose(
-                        vsbuf[slot][:, :B])[:, None, :]
-                    ps = jnp.maximum(jnp.max(pscaled, axis=2, keepdims=True),
-                                     1e-30) / 127.0
-                    pq = _clamp(_rne(pscaled / ps), -127.0,
-                                127.0).astype(jnp.int8)
-                    if kv_bits == 4:
-                        vbi = vbuf[slot].astype(jnp.int32)
-                        pv_lo = jax.lax.dot_general(
-                            pq, ((vbi << 28) >> 28).astype(jnp.int8),
-                            (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.int32)
-                        pv_hi = jax.lax.dot_general(
-                            pq, (vbi >> 4).astype(jnp.int8),
-                            (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.int32)
-                        pv32 = jnp.concatenate([pv_lo, pv_hi], axis=2)
-                    else:
-                        pv32 = jax.lax.dot_general(
-                            pq, vbuf[slot], (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.int32)
-                    pv = pv32.astype(jnp.float32) * ps
-                    return m_new, l_new, acc * corr[:, :, None] + pv
+                    return merge_block(carry, kbuf[slot], ksbuf[slot],
+                                       vbuf[slot], vsbuf[slot], j * tbp,
+                                       limit)
 
                 return jax.lax.fori_loop(0, nblk, body, carry0)
 
@@ -1021,13 +1053,19 @@ def _mega_kernel_kv8(*refs,
             l0 = jnp.zeros((B, H), jnp.float32)
             a0 = jnp.zeros((B, H, d), jnp.float32)
             if per_slot:
-                # main prefixes (read-only, per-slot masked), then the
-                # chunk-local recent tokens (uniform position)
+                # main prefixes (read-only, per-slot masked), then the ONE
+                # chunk-local recent block prefetched at the top of this
+                # grid step (its DMA hid under the main stream); rows
+                # >= pos are masked, so rpos == 0 degenerates to a no-op
                 nblk_main = _idiv(maxpos_ref[0] + tbp - 1, tbp)
                 carry = stream((m0, l0, a0), (kcm, vcm, kscm, vscm),
                                nblk_main, pos_vec)
-                nblk_rec = _idiv(pos + tbp - 1, tbp)
-                m, lsum, acc = stream(carry, (kc, vc, ksc, vsc), nblk_rec, pos)
+                pkr.wait()
+                pvr.wait()
+                pksr.wait()
+                pvsr.wait()
+                m, lsum, acc = merge_block(carry, krbuf[:], ksrbuf[:],
+                                           vrbuf[:], vsrbuf[:], 0, pos)
             else:
                 nblk = _idiv(pos + tbp - 1, tbp)
                 m, lsum, acc = stream((m0, l0, a0), (kc, vc, ksc, vsc), nblk,
@@ -1263,6 +1301,10 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
             pltpu.VMEM((2, B, tbp, dc), jnp.int8),  # vbuf
             pltpu.VMEM((2, tbp, 128), jnp.float32),  # ksbuf
             pltpu.VMEM((2, tbp, 128), jnp.float32),  # vsbuf
+            pltpu.VMEM((B, tbp, dc), jnp.int8),    # krbuf (recent prefetch)
+            pltpu.VMEM((B, tbp, dc), jnp.int8),    # vrbuf
+            pltpu.VMEM((tbp, 128), jnp.float32),   # ksrbuf
+            pltpu.VMEM((tbp, 128), jnp.float32),   # vsrbuf
             pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwk
             pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwv
             pltpu.VMEM((8, 128), jnp.float32),     # rmwks
@@ -1271,6 +1313,7 @@ def mega_decode_step_kv8(h, mw: MegaWeights, k_cache, v_cache, k_scale,
             pltpu.SemaphoreType.DMA((2, 2)),       # ssem (scales)
             pltpu.SemaphoreType.DMA((2,)),         # rsem
             pltpu.SemaphoreType.DMA((2,)),         # rssem
+            pltpu.SemaphoreType.DMA((4,)),         # rpsem (recent prefetch)
         ],
         input_output_aliases={12: 1, 13: 2, 14: 3, 15: 4},
         interpret=interpret,
@@ -1326,6 +1369,12 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
     while (Tc % tbp or Tr % tbp) and tbp > 8:
         tbp -= 8
     assert Tc % tbp == 0 and Tr % tbp == 0 and tbp % 8 == 0, (Tc, Tr, tbp)
+    if Tr != tbp:
+        raise ValueError(
+            f"per-slot recent buffer must be ONE stream block (Tr == tbp); "
+            f"got Tr={Tr}, tbp={tbp} — cap the chunk size at the engine's "
+            "mega_tbp (the kernel prefetches the single recent block under "
+            "the main stream)")
     sm_scale = 1.0 / math.sqrt(D)
     ldt = mw.at.dtype
     dk = mw.wt.shape[2]
@@ -1413,6 +1462,10 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
             pltpu.VMEM((2, B, tbp, dc), jnp.int8),  # vbuf
             pltpu.VMEM((2, tbp, 128), jnp.float32),  # ksbuf
             pltpu.VMEM((2, tbp, 128), jnp.float32),  # vsbuf
+            pltpu.VMEM((B, tbp, dc), jnp.int8),    # krbuf (recent prefetch)
+            pltpu.VMEM((B, tbp, dc), jnp.int8),    # vrbuf
+            pltpu.VMEM((tbp, 128), jnp.float32),   # ksrbuf
+            pltpu.VMEM((tbp, 128), jnp.float32),   # vsrbuf
             pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwk
             pltpu.VMEM((B, 8, dc), jnp.int8),      # rmwv
             pltpu.VMEM((8, 128), jnp.float32),     # rmwks
@@ -1421,6 +1474,7 @@ def mega_decode_step_cb(h, mw: MegaWeights, k_main, v_main, ks_main,
             pltpu.SemaphoreType.DMA((2, 2)),       # ssem (scales)
             pltpu.SemaphoreType.DMA((2,)),         # rsem
             pltpu.SemaphoreType.DMA((2,)),         # rssem
+            pltpu.SemaphoreType.DMA((4,)),         # rpsem (recent prefetch)
         ],
         input_output_aliases={18: 1, 19: 2, 20: 3, 21: 4},
         interpret=interpret,

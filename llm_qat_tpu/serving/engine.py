@@ -327,6 +327,10 @@ class ContinuousBatchingEngine:
         tbp = min(mega_tbp, T)
         while T % tbp and tbp > 8:
             tbp -= 8
+        # chunk cap: the CB kernel's recent buffer is ONE stream block
+        # (prefetched under the main pass — r5), so a chunk may decode at
+        # most tbp tokens between merges; step_chunk splits larger asks
+        self._mega_chunk_cap = tbp
         self.caches = (
             jnp.zeros((L, B, T, dc), jnp.int8),
             jnp.zeros((L, B, T, dc), jnp.int8),
@@ -570,8 +574,12 @@ class ContinuousBatchingEngine:
         active_np = np.asarray([r is not None for r in self.slot_req])
         if not active_np.any():
             return 0
-        # cap k so no slot overruns its cache
+        # cap k so no slot overruns its cache; on the mega path also cap
+        # at the recent-buffer block size (kernel contract, r5)
         max_room = int(self.max_len - 1 - self.lengths[active_np].max())
+        cap = getattr(self, "_mega_chunk_cap", None)
+        if cap is not None:
+            k = min(k, cap)
         k_eff = max(1, min(k, max_room))
         toks = jnp.asarray(self.last_token[:, None])
         toks_out, self.caches = self._step_chunk(
