@@ -222,12 +222,17 @@ def bench_decode():
     per_window = max((tk - t1) / (K_WINDOWS - 1), 1e-9)
     tps = B * NEW / per_window
     raw_amortized = B * NEW * K_WINDOWS / tk
+    # best-window rate: the tunnel shares the chip with other tenants and
+    # session-to-session spread reaches ±20-40% (docs/RESULTS_R5.md); the
+    # min-based figure estimates uncontended chip capability
+    best = B * NEW / max((min(tks) - min(t1s)) / (K_WINDOWS - 1), 1e-9)
     print(json.dumps({
         "metric": "decode_tokens_per_sec_per_chip_gpt2_124m_int4_lora",
         "value": round(tps, 1),
         "unit": "tokens/s",
         "vs_baseline": None,
         "raw_amortized": round(raw_amortized, 1),
+        "best_window": round(best, 1),
         "detail": f"W4A8KV4 + int8-LoRA banks + int4 head; B={B} "
                   f"new={NEW}; per-window=(t{K_WINDOWS}-t1)/"
                   f"{K_WINDOWS-1}, raw={K_WINDOWS}-window wall",

@@ -51,9 +51,9 @@ prompts = [rng.integers(1, 50000, (n,))
 
 
 def run(label, **kw):
+    kw.setdefault("lm_head_bits", 8)
     eng = ContinuousBatchingEngine(params, cfg, bits=kw.pop("bits", 8),
-                                   n_slots=SLOTS, max_len=MAXLEN,
-                                   lm_head_int8=True, **kw)
+                                   n_slots=SLOTS, max_len=MAXLEN, **kw)
     # warm the compile caches with a dummy request round
     eng.submit(prompts[0], max_new_tokens=CHUNK + 2)
     eng.run_until_done(chunk=CHUNK)
@@ -110,6 +110,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[3] == "quick":
         run("mega  W4 KV4 (r4)  ", bits=4, weight_format="int4_xla",
             kv_layout="mega", kv_bits=4)
+    elif len(sys.argv) > 3 and sys.argv[3] == "diet":
+        run("mega  W4 KV4 head8 ", bits=4, weight_format="int4_xla",
+            kv_layout="mega", kv_bits=4)
+        run("mega  W4 KV4 head4 ", bits=4, weight_format="int4_xla",
+            kv_layout="mega", kv_bits=4, lm_head_bits=4)
     else:
         run("packed (r3 path)   ", weight_format="int8_xla",
             kv_layout="packed")
