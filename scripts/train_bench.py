@@ -136,6 +136,16 @@ VARIANTS = {
     "flat-vmap-dense": dict(linear_impl="flat",
                             attention_impl="dense",
                             tcfg_student_mode="vmap"),
+    # r5 unroll-granularity sweep (scan-level grad stacking vs per-layer
+    # static-slice DUS chains trade off at intermediate unrolls)
+    "flat-u1-scan-dense": dict(linear_impl="flat", scan_unroll=1,
+                               attention_impl="dense"),
+    "flat-u2-scan-dense": dict(linear_impl="flat", scan_unroll=2,
+                               attention_impl="dense"),
+    "flat-u3-scan-dense": dict(linear_impl="flat", scan_unroll=3,
+                               attention_impl="dense"),
+    "flat-u6-scan-dense": dict(linear_impl="flat", scan_unroll=6,
+                               attention_impl="dense"),
 }
 
 if __name__ == "__main__":
