@@ -27,7 +27,8 @@ from llm_qat_tpu.models.inference import InferenceEngine, init_layer_caches
 from llm_qat_tpu.train.calibration_manager import (
     calibrate_input_quantizers, calibrate_weight_quantizers)
 
-B, PROMPT = 8, 64
+import os
+B, PROMPT = int(os.environ.get("DM_B", 8)), 64
 NEW = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 cfg = SPModelConfig(

@@ -50,8 +50,8 @@ def build_mw(wbits, lora_i8=False):
     )
 
 
-def bench(wbits, kv_bits, tpg, tbp, fetch):
-    mw = build_mw(wbits)
+def bench(wbits, kv_bits, tpg, tbp, fetch, lora_i8=False):
+    mw = build_mw(wbits, lora_i8=lora_i8)
     dc = d if kv_bits == 8 else d // 2
     kc = jnp.asarray(rng.integers(-100, 100, (L, B, TC, dc)), jnp.int8)
     vc = jnp.asarray(rng.integers(-100, 100, (L, B, TC, dc)), jnp.int8)
@@ -87,7 +87,8 @@ def bench(wbits, kv_bits, tpg, tbp, fetch):
         np.asarray(out[0])
         ts.append(time.perf_counter() - t0 - fetch)
     us = float(np.median(ts)) / STEPS * 1e6
-    print(f"W{wbits} KV{kv_bits} tpg={tpg} tbp={tbp}: {us:.0f} us/step "
+    print(f"W{wbits} KV{kv_bits} tpg={tpg} tbp={tbp} "
+          f"lora={'i8' if lora_i8 else 'bf16'}: {us:.0f} us/step "
           f"({B/us*1e6:,.0f} tok/s)", flush=True)
     return us
 
@@ -96,7 +97,14 @@ if __name__ == "__main__":
     fetch = fetch_baseline_s()
     print(f"fetch {fetch*1e3:.1f} ms; steps={STEPS} prefix {P0}..{P0+STEPS}",
           flush=True)
-    for tpg in (1, 2, 4, 6):
-        bench(4, 4, tpg, 64, fetch)
-    for tpg in (1, 4):
-        bench(8, 8, tpg, 64, fetch)
+    if len(sys.argv) > 3 and sys.argv[3] == "i8lora":
+        # r5: int8 LoRA banks halve the per-step VMEM bank residency —
+        # retest the tiles_per_step ceiling (r4: tpg=6 regressed on VMEM)
+        for tpg in (4, 6, 12):
+            bench(4, 4, tpg, 64, fetch, lora_i8=True)
+        bench(4, 4, 4, 64, fetch, lora_i8=False)
+    else:
+        for tpg in (1, 2, 4, 6):
+            bench(4, 4, tpg, 64, fetch)
+        for tpg in (1, 4):
+            bench(8, 8, tpg, 64, fetch)
